@@ -1,0 +1,61 @@
+"""headtrackr_tpu — a TPU-native face & head tracking framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of auduno/headtrackr
+(browser JS): real-time face detection (BBF cascade), camshift color tracking,
+smoothing, and pinhole head-position estimation — redesigned as a batched,
+shardable video-inference pipeline:
+
+  frames (N, H, W, 3) u8
+    -> [whitebalance-stability gate]
+    -> dense multi-scale cascade detection (all windows scored in parallel)
+    -> camshift tracking (histogram / backprojection / moment kernels)
+    -> EMA smoothing -> head position (x, y, z cm)
+    -> facetrackingEvent / headtrackingEvent / headtrackrStatus callbacks
+
+Everything per-frame is a pure, jit- and vmap-able function over an explicit
+state pytree; N independent streams batch on one chip and shard over a device
+mesh (pure data parallelism — the algorithm has no cross-stream communication).
+"""
+
+__version__ = "0.1.0"
+rev = 2  # API-parity counterpart of headtrackr.rev (src/main.js:30)
+
+from . import cascade as _cascade_mod
+from .cascade import Cascade, frontalface, toy_cascade
+from .config import TrackerConfig
+
+# Reference-parity API surface (populated by submodules):
+#   headtrackr_tpu.ccv.detect_objects / grayscale
+#   headtrackr_tpu.camshift.Tracker / Rectangle
+#   headtrackr_tpu.Smoother, headtrackr_tpu.getWhitebalance
+#   headtrackr_tpu.headposition.Tracker
+#   headtrackr_tpu.Tracker (session runtime), headtrackr_tpu.Ui
+#   headtrackr_tpu.controllers
+from . import ccv            # noqa: E402
+
+# The bundled model, like headtrackr.cascade (src/cascade.js:19).
+cascade = frontalface
+
+__all__ = [
+    "Cascade", "frontalface", "toy_cascade", "TrackerConfig",
+    "ccv", "cascade", "rev",
+]
+
+
+def __getattr__(name):  # lazy imports while submodules land
+    if name in ("camshift", "headposition", "controllers"):
+        import importlib
+        return importlib.import_module(f".{name}", __name__)
+    if name in ("Smoother", "getWhitebalance"):
+        from . import api
+        return getattr(api, name)
+    if name in ("Tracker",):
+        from .runtime.tracker import Tracker
+        return Tracker
+    if name in ("Ui",):
+        from .runtime.ui import Ui
+        return Ui
+    if name == "events":
+        from .runtime import events
+        return events
+    raise AttributeError(name)

@@ -1,0 +1,52 @@
+"""Typed configuration mirroring the reference's option objects.
+
+Names and defaults follow the reference exactly:
+  - Tracker params:     src/main.js:12-24,37-55
+  - facetrackr params:  src/facetrackr.js:28-53
+  - camshift params:    src/camshift.js:150-151
+  - headposition params: src/headposition.js:22-48,69-84
+"""
+
+import dataclasses
+from typing import Optional
+
+__all__ = ["TrackerConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    # headtrackr.Tracker params (src/main.js:37-55)
+    ui: bool = True
+    smoothing: bool = True
+    debug: bool = False
+    detectionInterval: int = 20        # ms between frame steps
+    retryDetection: bool = True
+    fov: Optional[float] = None        # horizontal FOV degrees; None = estimate
+    fadeVideo: bool = False
+    cameraOffset: float = 11.5         # cm camera -> screen center
+    calcAngles: bool = False
+    headPosition: bool = True
+
+    # facetrackr params (src/facetrackr.js:28-53)
+    sendEvents: bool = True
+    whitebalancing: bool = True
+
+    # headposition params (src/headposition.js:22-48)
+    distance_to_screen: float = 60.0
+    edgecorrection: bool = True
+
+    # detector work shape (src/facetrackr.js:147-149: interval=5, min_neighbors=1)
+    detectorInterval: int = 5
+    minNeighbors: int = 1
+
+    # smoother (src/main.js:163: Smoother(0.35, detectionInterval + 15))
+    smoothingAlpha: float = 0.35
+
+    # framework-only knobs (no reference counterpart)
+    maxCandidates: int = 256           # device-side grouping capacity
+    survivorsStage2: int = 4096        # compaction width after stages 0-1
+    survivorsDeep: int = 512           # compaction width after stages 2-5
+
+    @property
+    def smoothingInterval(self) -> int:
+        return self.detectionInterval + 15

@@ -1,0 +1,184 @@
+"""TPU-native camshift tracker: histogram / backprojection / masked-moment kernels.
+
+Behavior spec: src/camshift.js (see oracle/camshift.py).  Design notes:
+
+* All state is an explicit pytree (CamshiftState) so N streams batch with vmap.
+* The <=10 mean-shift iterations with early fixed-point stop become a fixed-trip
+  fori_loop with a ``done`` freeze mask — identical results, static control flow.
+* Moments over the (dynamic) search window are masked reductions over the full
+  pdf — rectangular masks instead of dynamic slicing, so shapes stay static.
+* The JS NaN-mediated loss semantics (zero backprojection mass => 0-size box,
+  src/camshift.js:109,240-241) are reproduced as explicit zero-mass logic.
+* JS ``(v) >> 0`` int coercion (truncate toward zero, NaN -> 0) is _js_shift.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.histogram import (backprojection_pdf, backprojection_weights,
+                             histogram_4096, histogram_rect, rgb_bins)
+
+__all__ = ["CamshiftState", "init_state", "init_tracker", "track",
+           "mean_shift", "camshift_step"]
+
+MEANSHIFT_ITERS = 10  # src/camshift.js:277
+
+
+class CamshiftState(NamedTuple):
+    model_hist: jnp.ndarray     # (4096,) f32
+    window: jnp.ndarray         # (4,) i32: x, y, width, height (JS ints)
+    track_x: jnp.ndarray        # i32 center x (JS Math.floor result)
+    track_y: jnp.ndarray        # i32
+    track_w: jnp.ndarray        # i32 (JS << 2 result)
+    track_h: jnp.ndarray        # i32
+    track_angle: jnp.ndarray    # f32 radians
+
+
+def init_state():
+    return CamshiftState(
+        model_hist=jnp.zeros((4096,), jnp.float32),
+        window=jnp.zeros((4,), jnp.int32),
+        track_x=jnp.int32(0), track_y=jnp.int32(0),
+        track_w=jnp.int32(0), track_h=jnp.int32(0),
+        track_angle=jnp.float32(0.0),
+    )
+
+
+def init_tracker(frame_rgb, rect):
+    """VJ -> CS handoff (src/camshift.js:198-211): model histogram of the crop.
+
+    rect: (4,) i32 [x, y, w, h] (already floored by the caller,
+    src/facetrackr.js:101-106)."""
+    bins = rgb_bins(frame_rgb)
+    hist = histogram_rect(bins, rect[0], rect[1], rect[2], rect[3])
+    return CamshiftState(
+        model_hist=hist, window=rect.astype(jnp.int32),
+        track_x=jnp.int32(0), track_y=jnp.int32(0),
+        track_w=jnp.int32(0), track_h=jnp.int32(0),
+        track_angle=jnp.float32(0.0),
+    )
+
+
+def _js_shift(v):
+    """JS ``v >> 0``: truncate toward zero; NaN/Inf -> 0."""
+    return jnp.where(jnp.isfinite(v), jnp.trunc(v), 0.0).astype(jnp.int32)
+
+
+def _masked_moments(pdf, rows, cols, wadx, wady, wadw, wadh):
+    """Moments of pdf over [wadx, wadw) x [wady, wadh) with vx/vy relative to the
+    window origin (src/camshift.js:79-107: w/h args are exclusive upper bounds)."""
+    inside = ((rows >= wady) & (rows < wadh) & (cols >= wadx) & (cols < wadw))
+    w = jnp.where(inside, pdf, 0.0)
+    vx = (cols - wadx).astype(jnp.float32)
+    vy = (rows - wady).astype(jnp.float32)
+    m00 = w.sum()
+    m10 = (vx * w).sum()
+    m01 = (vy * w).sum()
+    m11 = (vx * vy * w).sum()
+    m20 = (vx * vx * w).sum()
+    m02 = (vy * vy * w).sum()
+    return m00, m10, m01, m11, m20, m02
+
+
+def mean_shift(pdf, window):
+    """<=10 mean-shift iterations (src/camshift.js:261-312).
+
+    Returns (window', moments dict at the stopping iteration, zero_mass flag)."""
+    H, W = pdf.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def body(i, carry):
+        win, prevx, prevy, done, m = carry
+        wadx = jnp.maximum(win[0], 0)
+        wady = jnp.maximum(win[1], 0)
+        wadw = jnp.minimum(wadx + win[2], W)
+        wadh = jnp.minimum(wady + win[3], H)
+        m00, m10, m01, m11, m20, m02 = _masked_moments(
+            pdf, rows, cols, wadx, wady, wadw, wadh)
+        nonzero = m00 > 0
+        xc = jnp.where(nonzero, m10 / jnp.maximum(m00, 1e-30), jnp.nan)
+        yc = jnp.where(nonzero, m01 / jnp.maximum(m00, 1e-30), jnp.nan)
+        dx = _js_shift(xc - win[2].astype(jnp.float32) / 2)
+        dy = _js_shift(yc - win[3].astype(jnp.float32) / 2)
+        newx = win[0] + dx
+        newy = win[1] + dy
+        fixed = (newx == prevx) & (newy == prevy)
+        new_m = (m00, m10, m01, m11, m20, m02)
+        # Freeze after done: keep previous window and moments.
+        m_out = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(done, old, new), m, new_m)
+        win_out = jnp.where(done, win, win.at[0].set(newx).at[1].set(newy))
+        prevx_out = jnp.where(done, prevx, newx)
+        prevy_out = jnp.where(done, prevy, newy)
+        return win_out, prevx_out, prevy_out, done | fixed, m_out
+
+    zeros = tuple(jnp.float32(0.0) for _ in range(6))
+    init = (window, window[0], window[1], jnp.bool_(False), zeros)
+    win, _, _, _, m = jax.lax.fori_loop(0, MEANSHIFT_ITERS, body, init)
+
+    win = win.at[0].set(jnp.clip(win[0], 0, W)).at[1].set(jnp.clip(win[1], 0, H))
+    m00, m10, m01, m11, m20, m02 = m
+    nonzero = m00 > 0
+    inv = jnp.where(nonzero, 1.0 / jnp.maximum(m00, 1e-30), jnp.inf)
+    xc = m10 * inv
+    yc = m01 * inv
+    mom = dict(m00=m00, m10=m10, m01=m01, m11=m11, m20=m20, m02=m02,
+               invM00=inv, xc=xc, yc=yc,
+               mu20=m20 - m10 * xc, mu02=m02 - m01 * yc,
+               mu11=m11 - m01 * xc)  # JS quirk: m01 * xc (src/camshift.js:118)
+    return win, mom, ~nonzero
+
+
+def _sqrt_shl2(v, bad):
+    """JS ``Math.sqrt(v) << 2``: trunc(sqrt(v)) * 4; NaN (v<0 or zero-mass) -> 0."""
+    ok = (~bad) & (v >= 0) & jnp.isfinite(v)
+    r = jnp.sqrt(jnp.maximum(v, 0.0))
+    return jnp.where(ok, jnp.trunc(r) * 4, 0.0).astype(jnp.int32)
+
+
+def track(state, frame_rgb, calc_angles=True):
+    """One camshift frame step (src/camshift.js:213-259).  Returns new state."""
+    H, W = frame_rgb.shape[0], frame_rgb.shape[1]
+    bins = rgb_bins(frame_rgb)
+    cur_hist = histogram_4096(bins)
+    weights = backprojection_weights(state.model_hist, cur_hist)
+    pdf = backprojection_pdf(bins, weights)
+
+    win, m, zero_mass = mean_shift(pdf, state.window)
+
+    a = m["mu20"] * m["invM00"]
+    c = m["mu02"] * m["invM00"]
+    if calc_angles:
+        b = m["mu11"] * m["invM00"]
+        d = a + c
+        e = jnp.sqrt((4 * b * b) + ((a - c) * (a - c)))
+        tw = _sqrt_shl2((d - e) * 0.5, zero_mass)
+        th = _sqrt_shl2((d + e) * 0.5, zero_mass)
+        ang = jnp.arctan2(2 * b, a - c + e)
+        ang = jnp.where(ang < 0, ang + jnp.pi, ang)
+        ang = jnp.where(zero_mass, jnp.nan, ang)
+    else:
+        tw = _sqrt_shl2(a, zero_mass)
+        th = _sqrt_shl2(c, zero_mass)
+        ang = jnp.float32(jnp.pi / 2)
+
+    fw = win[2].astype(jnp.float32)
+    fh = win[3].astype(jnp.float32)
+    tx = jnp.floor(jnp.clip(win[0].astype(jnp.float32) + fw / 2, 0, W)).astype(jnp.int32)
+    ty = jnp.floor(jnp.clip(win[1].astype(jnp.float32) + fh / 2, 0, H)).astype(jnp.int32)
+
+    new_w = jnp.floor(1.1 * tw.astype(jnp.float32)).astype(jnp.int32)
+    new_h = jnp.floor(1.1 * th.astype(jnp.float32)).astype(jnp.int32)
+    win = win.at[2].set(new_w).at[3].set(new_h)
+
+    return state._replace(window=win, track_x=tx, track_y=ty,
+                          track_w=tw, track_h=th,
+                          track_angle=ang.astype(jnp.float32)), pdf
+
+
+def camshift_step(state, frame_rgb, calc_angles=True):
+    new_state, _ = track(state, frame_rgb, calc_angles)
+    return new_state
