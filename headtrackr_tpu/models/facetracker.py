@@ -1,0 +1,267 @@
+"""The per-frame WB -> VJ -> CS state machine as one pure, jit/vmap-able step.
+
+Spec: src/facetrackr.js:37-228 (mode dispatch, handoff) + src/main.js:168-305
+(supervision: loss/retry, smoothing, head-diagonal stability gate, FOV caching,
+head position).  All state is an explicit pytree (TrackerState); a batch of N
+streams is a stacked state and vmap(step) — the key enabler of batched serving
+(the reference keeps all of this in JS closures, src/facetrackr.js:49-59,
+src/main.js:57-65).
+
+Status side effects become a bitmask in the step output; the host runtime
+translates them to headtrackrStatus events (src/main.js:70-77).
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrackerConfig
+from ..ops.imageproc import grayscale, whitebalance
+from . import camshift as cs
+from . import headpose as hp
+from .detector import detect_best
+
+__all__ = ["TrackerState", "StepOutput", "init_state", "make_step",
+           "MODE_WB", "MODE_VJ", "MODE_CS",
+           "STATUS_WHITEBALANCE", "STATUS_DETECTING", "STATUS_FOUND",
+           "STATUS_REDETECTING", "STATUS_LOST"]
+
+MODE_WB, MODE_VJ, MODE_CS = 0, 1, 2
+
+STATUS_WHITEBALANCE = 1
+STATUS_DETECTING = 2
+STATUS_FOUND = 4
+STATUS_REDETECTING = 8
+STATUS_LOST = 16
+
+PWB_LENGTH = 15                # src/facetrackr.js:59
+CONFIDENCE_THRESHOLD = -10.0   # src/facetrackr.js:57
+DIAG_LENGTH = 6                # src/main.js:271
+
+
+class TrackerState(NamedTuple):
+    mode: jnp.ndarray            # i32: 0 WB, 1 VJ, 2 CS
+    wb_ring: jnp.ndarray         # f32[15], most recent first (JS unshift)
+    wb_n: jnp.ndarray            # i32
+    cs: cs.CamshiftState
+    # main-loop supervision (src/main.js:57-65)
+    sm_sp: jnp.ndarray           # f32[5] smoother state [x, y, z, w, h]
+    sm_init: jnp.ndarray         # bool
+    face_found: jnp.ndarray      # bool
+    first_run: jnp.ndarray       # bool
+    diag_ring: jnp.ndarray       # f32[6]
+    diag_n: jnp.ndarray          # i32
+    headpose_active: jnp.ndarray  # bool
+    tan_fov: jnp.ndarray         # f32 (2*tan(fov/2); 0 = unset)
+    fov_width: jnp.ndarray       # f32 radians (cached across re-inits)
+    head_diag_cam: jnp.ndarray   # f32 (stateful edge-correction diagonal)
+    stopped: jnp.ndarray         # bool
+
+
+class StepOutput(NamedTuple):
+    detection: jnp.ndarray       # i32 mode of this frame's result
+    wb: jnp.ndarray              # f32 (WB frames)
+    face_x: jnp.ndarray          # raw result fields (facetrackingEvent payload)
+    face_y: jnp.ndarray
+    face_w: jnp.ndarray
+    face_h: jnp.ndarray
+    face_angle: jnp.ndarray
+    face_conf: jnp.ndarray
+    smooth_x: jnp.ndarray        # main's faceObj after optional smoothing
+    smooth_y: jnp.ndarray
+    smooth_w: jnp.ndarray
+    smooth_h: jnp.ndarray
+    head_valid: jnp.ndarray      # bool: headtrackingEvent fired
+    head_x: jnp.ndarray
+    head_y: jnp.ndarray
+    head_z: jnp.ndarray
+    status: jnp.ndarray          # i32 bitmask of STATUS_*
+    event_face: jnp.ndarray      # bool: facetrackingEvent fired
+    fov_deg: jnp.ndarray         # f32 current FOV estimate in degrees
+
+
+def init_state(whitebalancing=True):
+    f32 = jnp.float32
+    return TrackerState(
+        mode=jnp.int32(MODE_WB if whitebalancing else MODE_VJ),
+        wb_ring=jnp.zeros((PWB_LENGTH,), f32), wb_n=jnp.int32(0),
+        cs=cs.init_state(),
+        sm_sp=jnp.zeros((5,), f32), sm_init=jnp.bool_(False),
+        face_found=jnp.bool_(False), first_run=jnp.bool_(True),
+        diag_ring=jnp.zeros((DIAG_LENGTH,), f32), diag_n=jnp.int32(0),
+        headpose_active=jnp.bool_(False),
+        tan_fov=f32(0.0), fov_width=f32(0.0), head_diag_cam=f32(0.0),
+        stopped=jnp.bool_(False),
+    )
+
+
+class _Result(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    w: jnp.ndarray
+    h: jnp.ndarray
+    angle: jnp.ndarray
+    conf: jnp.ndarray
+    wb: jnp.ndarray
+
+
+def _empty_result():
+    f32 = jnp.float32
+    return _Result(f32(0), f32(0), f32(0), f32(0), f32(0), f32(-10000.0), f32(0))
+
+
+def make_step(cascade, config: TrackerConfig, frame_shape):
+    """Build the per-frame step fn for a static (cascade, config, H, W).
+
+    step(state, frame_rgb_u8) -> (state', StepOutput).  jit/vmap-able.
+    """
+    H, W = frame_shape
+    f32 = jnp.float32
+
+    def wb_branch(state, frame):
+        wb = whitebalance(frame).astype(f32)
+        # 15-deep stability ring, switch when max - min < 2 (src/facetrackr.js:79-95)
+        ring = jnp.roll(state.wb_ring, 1).at[0].set(wb)
+        n = jnp.minimum(state.wb_n + 1, PWB_LENGTH)
+        full = n == PWB_LENGTH
+        stable = full & ((jnp.max(ring) - jnp.min(ring)) < 2.0)
+        new_mode = jnp.where(stable, MODE_VJ, MODE_WB).astype(jnp.int32)
+        res = _empty_result()._replace(wb=wb)
+        return state._replace(mode=new_mode, wb_ring=ring, wb_n=n), res
+
+    def vj_branch(state, frame):
+        gray = grayscale(frame)
+        found, x, y, w, h, conf = detect_best(
+            gray, cascade, config.detectorInterval, config.minNeighbors,
+            config.maxCandidates)
+        conf = jnp.where(found, conf, f32(-10000.0))
+        res = _Result(x=jnp.where(found, x, 0.0).astype(f32),
+                      y=jnp.where(found, y, 0.0).astype(f32),
+                      w=jnp.where(found, w, 0.0).astype(f32),
+                      h=jnp.where(found, h, 0.0).astype(f32),
+                      angle=f32(0.0), conf=conf.astype(f32), wb=f32(0))
+        # VJ -> CS handoff (src/facetrackr.js:97-108)
+        switch = conf > CONFIDENCE_THRESHOLD
+        rect = jnp.floor(jnp.stack([res.x, res.y, res.w, res.h])).astype(jnp.int32)
+        new_cs = cs.init_tracker(frame, rect)
+        cs_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(switch, a, b), new_cs, state.cs)
+        new_mode = jnp.where(switch, MODE_CS, MODE_VJ).astype(jnp.int32)
+        return state._replace(mode=new_mode, cs=cs_state), res
+
+    def cs_branch(state, frame):
+        new_cs, _pdf = cs.track(state.cs, frame, config.calcAngles)
+        res = _Result(x=new_cs.track_x.astype(f32), y=new_cs.track_y.astype(f32),
+                      w=new_cs.track_w.astype(f32), h=new_cs.track_h.astype(f32),
+                      angle=new_cs.track_angle.astype(f32), conf=f32(1.0),
+                      wb=f32(0))
+        return state._replace(cs=new_cs), res
+
+    def full_step(state, frame):
+        entry_mode = state.mode
+        state, res = jax.lax.switch(
+            entry_mode, [wb_branch, vj_branch, cs_branch], state, frame)
+        detection = entry_mode  # the result's detection type
+
+        status = jnp.int32(0)
+        status = status | jnp.where(detection == MODE_WB, STATUS_WHITEBALANCE, 0)
+        status = status | jnp.where(
+            state.first_run & (detection == MODE_VJ), STATUS_DETECTING, 0)
+
+        is_cs = detection == MODE_CS
+        conf_gate = res.conf != 0  # src/main.js:186
+        lost = is_cs & conf_gate & ((res.w == 0) | (res.h == 0))
+        tracking = is_cs & conf_gate & ~lost
+
+        # --- loss / retry (src/main.js:230-248)
+        if config.retryDetection:
+            status = status | jnp.where(lost, STATUS_REDETECTING, 0)
+            mode_after = jnp.where(lost, MODE_VJ, state.mode).astype(jnp.int32)
+            stopped = state.stopped
+        else:
+            status = status | jnp.where(lost, STATUS_LOST, 0)
+            mode_after = state.mode
+            stopped = state.stopped | lost
+        face_found = jnp.where(lost, False, state.face_found)
+        headpose_active = jnp.where(lost, False, state.headpose_active)
+
+        # --- found + smoothing (src/main.js:250-261)
+        status = status | jnp.where(tracking & ~state.face_found, STATUS_FOUND, 0)
+        face_found = jnp.where(tracking, True, face_found)
+
+        cur = jnp.stack([res.x, res.y, f32(0.0), res.w, res.h])
+        if config.smoothing:
+            sp0 = jnp.where(state.sm_init, state.sm_sp, cur)
+            a = f32(config.smoothingAlpha)
+            sp1 = a * cur + (1 - a) * sp0
+            sm_sp = jnp.where(tracking, sp1, state.sm_sp)
+            sm_init = state.sm_init | tracking
+            smoothed = jnp.where(tracking, sp1, cur)
+        else:
+            sm_sp = state.sm_sp
+            sm_init = state.sm_init
+            smoothed = cur
+        sx, sy, sw, sh = smoothed[0], smoothed[1], smoothed[3], smoothed[4]
+
+        # --- head-diagonal stability gate + FOV (src/main.js:263-297)
+        diag = jnp.sqrt(sw * sw + sh * sh)
+        gate = tracking & ~headpose_active & config.headPosition
+        ring_full = state.diag_n >= DIAG_LENGTH
+        pushed = jnp.where(
+            ring_full,
+            jnp.roll(state.diag_ring, -1).at[DIAG_LENGTH - 1].set(diag),
+            state.diag_ring.at[jnp.minimum(state.diag_n, DIAG_LENGTH - 1)].set(diag))
+        diag_ring = jnp.where(gate, pushed, state.diag_ring)
+        diag_n = jnp.where(gate, jnp.minimum(state.diag_n + 1, DIAG_LENGTH),
+                           state.diag_n)
+        stable = gate & ring_full & (
+            (jnp.max(pushed) - jnp.min(pushed)) < 5.0)
+
+        if config.fov is not None:
+            fov_est = f32(config.fov * jnp.pi / 180.0)
+        else:
+            fov_est = hp.estimate_fov_width(sw, sh, f32(W),
+                                            config.distance_to_screen)
+        activate = stable
+        fov_width = jnp.where(activate & state.first_run, fov_est,
+                              state.fov_width)
+        tan_fov = jnp.where(activate & state.first_run,
+                            2 * jnp.tan(fov_est / 2), state.tan_fov)
+        first_run = state.first_run & ~activate
+        # constructor resets head_diag_cam from the activation faceObj
+        # (src/headposition.js:66-68)
+        head_diag_cam = jnp.where(
+            activate, jnp.sqrt(sw * sw + sh * sh), state.head_diag_cam)
+        headpose_active = headpose_active | activate
+
+        run_head = (activate | (tracking & headpose_active & config.headPosition))
+        hx, hy, hz, new_diag_cam = hp.track_head(
+            sx, sy, sw, sh, head_diag_cam,
+            jnp.where(tan_fov > 0, tan_fov, 1.0),  # guard; masked by run_head
+            f32(W), f32(H), config.cameraOffset, config.edgecorrection)
+        head_diag_cam = jnp.where(run_head, new_diag_cam, head_diag_cam)
+
+        out = StepOutput(
+            detection=detection, wb=res.wb,
+            face_x=res.x, face_y=res.y, face_w=res.w, face_h=res.h,
+            face_angle=res.angle, face_conf=res.conf,
+            smooth_x=sx, smooth_y=sy, smooth_w=sw, smooth_h=sh,
+            head_valid=run_head,
+            head_x=jnp.where(run_head, hx, 0.0).astype(f32),
+            head_y=jnp.where(run_head, hy, 0.0).astype(f32),
+            head_z=jnp.where(run_head, hz, 0.0).astype(f32),
+            status=status,
+            event_face=is_cs & config.sendEvents,
+            fov_deg=fov_width * f32(180.0 / jnp.pi),
+        )
+        new_state = state._replace(
+            mode=mode_after, sm_sp=sm_sp, sm_init=sm_init,
+            face_found=face_found, first_run=first_run,
+            diag_ring=diag_ring, diag_n=diag_n,
+            headpose_active=headpose_active, tan_fov=tan_fov,
+            fov_width=fov_width, head_diag_cam=head_diag_cam, stopped=stopped)
+        return new_state, out
+
+    return full_step

@@ -48,9 +48,9 @@ def Moments(pdf, x, y, w, h, second):
     m10 = (vx * win).sum()
     out = {"m00": m00, "m01": m01, "m10": m10}
     with np.errstate(divide="ignore", invalid="ignore"):
-        invM00 = 1.0 / m00  # inf when m00 == 0, like JS
-    xc = m10 * invM00      # NaN when m00 == 0 (0 * inf)
-    yc = m01 * invM00
+        invM00 = 1.0 / m00   # inf when m00 == 0, like JS
+        xc = m10 * invM00    # NaN when m00 == 0 (0 * inf)
+        yc = m01 * invM00
     out.update(invM00=invM00, xc=xc, yc=yc)
     if second:
         m11 = (vx * vy * win).sum()
