@@ -1,0 +1,118 @@
+"""Camshift golden tests: histogram/backprojection/moments/mean-shift vs oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from headtrackr_tpu.oracle.camshift import CamshiftTracker, Histogram, Moments
+from headtrackr_tpu.models import camshift as mc
+from headtrackr_tpu.ops import histogram as oh
+
+
+def _blob_frame(rng, H, W, cx, cy):
+    f = rng.integers(0, 60, (H, W, 3), dtype=np.uint8)
+    y0, y1 = max(0, cy - 8), min(H, cy + 8)
+    x0, x1 = max(0, cx - 6), min(W, cx + 6)
+    f[y0:y1, x0:x1, 0] = 200 + rng.integers(0, 30, (y1 - y0, x1 - x0))
+    f[y0:y1, x0:x1, 1] = 80
+    f[y0:y1, x0:x1, 2] = 60
+    return f
+
+
+def test_histogram_exact(rng):
+    f = rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+    want = Histogram(f)
+    got = np.asarray(jax.jit(
+        lambda x: oh.histogram_4096(oh.rgb_bins(x)))(jnp.asarray(f)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_histogram_rect_exact(rng):
+    f = rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+    x, y, w, h = 5, 7, 12, 9
+    want = Histogram(f[y:y + h, x:x + w])
+    got = np.asarray(jax.jit(lambda im: oh.histogram_rect(
+        oh.rgb_bins(im), x, y, w, h))(jnp.asarray(f)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_backprojection_weights_exact(rng):
+    m = rng.integers(0, 50, 4096).astype(np.float64)
+    c = rng.integers(0, 50, 4096).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        want = np.where(c != 0, np.minimum(m / c, 1.0), 0.0)
+    got = np.asarray(oh.backprojection_weights(
+        jnp.asarray(m, jnp.float32), jnp.asarray(c, jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_moments_window_semantics(rng):
+    """The w/h args of Moments are exclusive upper bounds (src/camshift.js:90-94)."""
+    pdf = rng.random((20, 30))
+    m = Moments(pdf, 4, 3, 15, 11, True)
+    win = pdf[3:11, 4:15]
+    assert np.isclose(m["m00"], win.sum())
+    vy, vx = np.mgrid[0:8, 0:11]
+    assert np.isclose(m["m10"], (vx * win).sum())
+    assert np.isclose(m["mu11"], (vx * vy * win).sum() - m["m01"] * m["xc"])
+
+
+def test_track_parity_20_frames(rng):
+    H, W = 60, 80
+    frames = [_blob_frame(rng, H, W, 30 + t, 25 + t // 2) for t in range(20)]
+    rect = (24, 17, 12, 16)
+    o = CamshiftTracker(calc_angles=True)
+    o.init_tracker(frames[0], rect)
+    st = mc.init_tracker(jnp.asarray(frames[0]), jnp.asarray(rect, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(st.model_hist), o.model_hist)
+
+    step = jax.jit(lambda s, f: mc.track(s, f, True))
+    for t, f in enumerate(frames[1:], 1):
+        ro = o.track(f)
+        st, _ = step(st, jnp.asarray(f))
+        assert int(st.track_x) == ro["x"], t
+        assert int(st.track_y) == ro["y"], t
+        assert int(st.track_w) == ro["width"], t
+        assert int(st.track_h) == ro["height"], t
+        assert np.asarray(st.window).tolist() == list(o.search_window), t
+        if ro["width"] > 0 and ro["height"] > 0:
+            # angle is only meaningful on non-degenerate frames; a collapsed
+            # window makes atan2 arguments knife-edge float cases (and the
+            # pipeline treats the frame as track-lost regardless)
+            if np.isnan(ro["angle"]):
+                assert np.isnan(float(st.track_angle))
+            else:
+                assert abs(float(st.track_angle) - ro["angle"]) < 1e-4
+
+
+def test_zero_mass_loss_semantics(rng):
+    """Zero backprojection mass => 0-size box (NaN << 2 in JS), window frozen."""
+    H, W = 60, 80
+    f0 = _blob_frame(rng, H, W, 30, 25)
+    rect = (24, 17, 12, 16)
+    o = CamshiftTracker()
+    o.init_tracker(f0, rect)
+    st = mc.init_tracker(jnp.asarray(f0), jnp.asarray(rect, jnp.int32))
+    blue = np.zeros((H, W, 3), np.uint8)
+    blue[..., 2] = 250
+    ro = o.track(blue)
+    st, _ = jax.jit(lambda s, f: mc.track(s, f, True))(st, jnp.asarray(blue))
+    assert ro["width"] == 0 and ro["height"] == 0
+    assert int(st.track_w) == 0 and int(st.track_h) == 0
+    assert int(st.track_x) == ro["x"] and int(st.track_y) == ro["y"]
+    assert np.isnan(ro["angle"]) and np.isnan(float(st.track_angle))
+
+
+def test_calc_angles_false(rng):
+    H, W = 60, 80
+    f0 = _blob_frame(rng, H, W, 30, 25)
+    rect = (24, 17, 12, 16)
+    o = CamshiftTracker(calc_angles=False)
+    o.init_tracker(f0, rect)
+    st = mc.init_tracker(jnp.asarray(f0), jnp.asarray(rect, jnp.int32))
+    f1 = _blob_frame(rng, H, W, 32, 26)
+    ro = o.track(f1)
+    st, _ = jax.jit(lambda s, f: mc.track(s, f, False))(st, jnp.asarray(f1))
+    assert int(st.track_w) == ro["width"]
+    assert int(st.track_h) == ro["height"]
+    assert abs(float(st.track_angle) - np.pi / 2) < 1e-6
