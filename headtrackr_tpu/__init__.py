@@ -32,30 +32,24 @@ from .config import TrackerConfig
 #   headtrackr_tpu.Tracker (session runtime), headtrackr_tpu.Ui
 #   headtrackr_tpu.controllers
 from . import ccv            # noqa: E402
+from . import camshift       # noqa: E402
+from . import headposition   # noqa: E402
+from . import controllers    # noqa: E402
+from .api import Smoother, getWhitebalance  # noqa: E402
+from .runtime import events                 # noqa: E402
+from .runtime.tracker import Tracker        # noqa: E402
+from .runtime.ui import Ui                  # noqa: E402
+from .runtime.serving import BatchedTracker  # noqa: E402
+from .runtime.video import (ClipSource, SyntheticFaceSource,  # noqa: E402
+                            CameraSource)
 
 # The bundled model, like headtrackr.cascade (src/cascade.js:19).
 cascade = frontalface
 
 __all__ = [
     "Cascade", "frontalface", "toy_cascade", "TrackerConfig",
-    "ccv", "cascade", "rev",
+    "ccv", "camshift", "headposition", "controllers",
+    "Smoother", "getWhitebalance", "Tracker", "Ui", "BatchedTracker",
+    "ClipSource", "SyntheticFaceSource", "CameraSource",
+    "events", "cascade", "rev",
 ]
-
-
-def __getattr__(name):  # lazy imports while submodules land
-    if name in ("camshift", "headposition", "controllers"):
-        import importlib
-        return importlib.import_module(f".{name}", __name__)
-    if name in ("Smoother", "getWhitebalance"):
-        from . import api
-        return getattr(api, name)
-    if name in ("Tracker",):
-        from .runtime.tracker import Tracker
-        return Tracker
-    if name in ("Ui",):
-        from .runtime.ui import Ui
-        return Ui
-    if name == "events":
-        from .runtime import events
-        return events
-    raise AttributeError(name)

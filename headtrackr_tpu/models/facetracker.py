@@ -112,10 +112,16 @@ def _empty_result():
     return _Result(f32(0), f32(0), f32(0), f32(0), f32(0), f32(-10000.0), f32(0))
 
 
-def make_step(cascade, config: TrackerConfig, frame_shape):
+def make_step(cascade, config: TrackerConfig, frame_shape, variant="full"):
     """Build the per-frame step fn for a static (cascade, config, H, W).
 
     step(state, frame_rgb_u8) -> (state', StepOutput).  jit/vmap-able.
+
+    variant="full":  the complete WB/VJ/CS mode dispatch.
+    variant="track": camshift-only fast path — valid ONLY when every stream in
+        the batch is in CS mode (the serving runtime guarantees this; under
+        vmap the full variant pays for the detector in every branch, so
+        steady-state serving uses this one).
     """
     H, W = frame_shape
     f32 = jnp.float32
@@ -161,8 +167,11 @@ def make_step(cascade, config: TrackerConfig, frame_shape):
 
     def full_step(state, frame):
         entry_mode = state.mode
-        state, res = jax.lax.switch(
-            entry_mode, [wb_branch, vj_branch, cs_branch], state, frame)
+        if variant == "track":
+            state, res = cs_branch(state, frame)
+        else:
+            state, res = jax.lax.switch(
+                entry_mode, [wb_branch, vj_branch, cs_branch], state, frame)
         detection = entry_mode  # the result's detection type
 
         status = jnp.int32(0)

@@ -1,0 +1,8 @@
+from . import events
+from .video import ClipSource, SyntheticFaceSource, CameraSource, VideoSource
+from .tracker import Tracker
+from .ui import Ui
+from .serving import BatchedTracker
+
+__all__ = ["events", "ClipSource", "SyntheticFaceSource", "CameraSource",
+           "VideoSource", "Tracker", "Ui", "BatchedTracker"]

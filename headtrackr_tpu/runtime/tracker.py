@@ -1,0 +1,259 @@
+"""Session runtime: the headtrackr.Tracker equivalent (spec: src/main.js:35-379).
+
+Owns a frame source, the jitted per-frame step, the timer loop, and event
+emission.  The browser-isms map as:
+
+  getUserMedia / <video>      -> VideoSource objects (CameraSource / ClipSource)
+  canvas (320x240 processing) -> the step's static frame shape
+  window.setTimeout loop      -> a daemon thread ticking every detectionInterval
+  document.dispatchEvent      -> runtime.events bus (same 3 event types/payloads)
+  fadeVideo / debug canvas    -> no-op flag / get_debug() arrays
+
+The per-frame math runs entirely on-device (models/facetracker.make_step); only
+the event payload scalars come back to host per tick.
+"""
+
+import threading
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cascade import frontalface
+from ..config import TrackerConfig
+from ..models import facetracker as ft
+from . import events as ev
+from .ui import Ui
+from .video import CameraSource, ClipSource, VideoSource, normalize_size
+
+__all__ = ["Tracker"]
+
+_STATUS_BITS = [
+    (ft.STATUS_WHITEBALANCE, "whitebalance"),
+    (ft.STATUS_DETECTING, "detecting"),
+    (ft.STATUS_FOUND, "found"),
+    (ft.STATUS_REDETECTING, "redetecting"),
+    (ft.STATUS_LOST, "lost"),
+]
+
+_MODE_NAMES = {ft.MODE_WB: "WB", ft.MODE_VJ: "VJ", ft.MODE_CS: "CS"}
+
+
+class Tracker:
+    """Usage mirrors the reference (src/main.js:1-27):
+
+        t = Tracker(ui=False, smoothing=True)
+        t.init(ClipSource(frames))       # or CameraSource(), or init(None) for camera
+        t.start()                        # timer loop; or t.step_once() / t.run_clip()
+        ...
+        t.stop(); t.stopStream()
+    """
+
+    def __init__(self, params=None, *, cascade=None, bus=None, **kw):
+        merged = dict(params or {})
+        merged.update(kw)
+        fields = set(TrackerConfig.__dataclass_fields__)
+        unknown = set(merged) - fields
+        if unknown:
+            raise TypeError(f"unknown Tracker params: {sorted(unknown)}")
+        self.config = TrackerConfig(**merged)
+        self._cascade = cascade if cascade is not None else frontalface()
+        self._bus = bus or ev.default_bus
+
+        self.status = ""
+        self.stream = None
+        self.initialized = False
+        self._ui = None
+        self._step = None
+        self._state = None
+        self._last_out = None
+        self._run = False
+        self._thread = None
+        self._detection_timer = None  # wall-clock start of VJ (hints, main.js:188)
+        self._hints_sent = False
+        self._canvas_size = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def _status_event(self, message):
+        self.status = message
+        self._bus.dispatch_event(ev.STATUS, {"status": message})
+
+    def init(self, video=None, canvas=None, setupVideo=True):
+        """video: a VideoSource, an (N,H,W,3) u8 array / file path (altVideo
+        equivalent), or None to open the camera.  canvas: processing (w, h);
+        defaults to the reference's 320/240 normalization of the source size.
+        """
+        if video is None and setupVideo:
+            self._status_event("getUserMedia")
+            try:
+                video = CameraSource()
+                self._status_event("camera found")
+                self.stream = video
+            except RuntimeError as e:
+                self._status_event(str(e))  # "no camera" / "no getUserMedia"
+                return False
+        elif not isinstance(video, VideoSource):
+            video = ClipSource(video)
+
+        self.video = video
+        if canvas is None:
+            cw, ch = normalize_size(video.width, video.height)
+        else:
+            cw, ch = canvas
+        self._canvas_size = (cw, ch)
+
+        step = ft.make_step(self._cascade, self.config, (ch, cw))
+        self._step = jax.jit(step, donate_argnums=0)
+        self._state = ft.init_state(self.config.whitebalancing)
+
+        if self.config.ui:
+            self._ui = Ui(bus=self._bus)
+        self.initialized = True
+        return True
+
+    def _capture(self):
+        frame = self.video.read()
+        if frame is None:
+            return None
+        ch, cw = self._canvas_size[1], self._canvas_size[0]
+        if frame.shape[:2] != (ch, cw):
+            frame = _resize_rgb(frame, cw, ch)
+        return frame
+
+    def step_once(self, frame=None):
+        """Process one frame synchronously; returns the StepOutput (host scalars).
+        The core of the track() loop (src/main.js:168-305)."""
+        if frame is None:
+            frame = self._capture()
+            if frame is None:
+                return None
+        t0 = _time.time()
+        self._state, out = self._step(self._state, jnp.asarray(frame))
+        out = jax.tree_util.tree_map(np.asarray, out)
+        elapsed_ms = int((_time.time() - t0) * 1000)
+        self._last_out = out
+        self._emit(out, elapsed_ms)
+        return out
+
+    def _emit(self, out, elapsed_ms):
+        status = int(out.status)
+        det = int(out.detection)
+        if det == ft.MODE_CS:
+            self.status = "tracking"  # src/main.js:227 (attribute only, no event)
+            if self._detection_timer is not None:
+                self._detection_timer = None
+                self._hints_sent = False
+        if det == ft.MODE_VJ:
+            # hints after 5 s of VJ without a lock (src/main.js:188-194)
+            if self._detection_timer is None:
+                self._detection_timer = _time.time()
+            elif (not self._hints_sent
+                  and _time.time() - self._detection_timer > 5.0):
+                self._status_event("hints")
+                self._hints_sent = True
+        for bit, name in _STATUS_BITS:
+            if status & bit:
+                self._status_event(name)
+        if bool(out.event_face):
+            self._bus.dispatch_event(ev.FACETRACKING, {
+                "height": float(out.face_h), "width": float(out.face_w),
+                "angle": float(out.face_angle), "x": float(out.face_x),
+                "y": float(out.face_y), "confidence": float(out.face_conf),
+                "detection": "CS", "time": elapsed_ms,
+            })
+        if bool(out.head_valid):
+            self._bus.dispatch_event(ev.HEADTRACKING, {
+                "x": float(out.head_x), "y": float(out.head_y),
+                "z": float(out.head_z),
+            })
+        if bool(int(out.status) & ft.STATUS_LOST):
+            self.stop()
+
+    def _loop(self):
+        interval = self.config.detectionInterval / 1000.0
+        while self._run:
+            t0 = _time.time()
+            out = self.step_once()
+            if out is None:  # end of clip/stream
+                self._run = False
+                break
+            sleep = interval - (_time.time() - t0)
+            if sleep > 0:
+                _time.sleep(sleep)
+
+    def start(self):
+        """src/main.js:328-345 + starter() safety checks (:307-326)."""
+        if not self.initialized:
+            return False
+        # starter: wait for a non-blank frame (whitebalance > 0)
+        deadline = _time.time() + 5.0
+        first = None
+        while _time.time() < deadline:
+            first = self._capture()
+            if first is not None and float(np.mean(first)) > 0:
+                break
+            _time.sleep(0.1)
+        self._run = True
+        if first is not None:
+            self.step_once(first)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return True
+
+    def run_clip(self, max_frames=None):
+        """Synchronously drive the source to exhaustion (deterministic path for
+        tests/benchmarks; no timer thread)."""
+        n = 0
+        while max_frames is None or n < max_frames:
+            out = self.step_once()
+            if out is None or not self._step:
+                break
+            n += 1
+            if self.status == "stopped":
+                break
+        return n
+
+    def stop(self):
+        """src/main.js:347-355: stop loop, reset detection from scratch."""
+        self._run = False
+        if (self._thread is not None and self._thread.is_alive()
+                and self._thread is not threading.current_thread()):
+            self._thread.join(timeout=5.0)
+        self._status_event("stopped")
+        if self._state is not None:
+            self._state = ft.init_state(self.config.whitebalancing)
+        self._detection_timer = None
+        self._hints_sent = False
+        return True
+
+    def stopStream(self):
+        if self.stream is not None:
+            self.stream.stop()
+
+    def getFOV(self):
+        if self._last_out is None:
+            return 0.0
+        return float(self._last_out.fov_deg)
+
+    # -- debug / introspection --------------------------------------------
+
+    def getTrackingObject(self):
+        """Last raw tracking result (facetrackr.getTrackingObject equivalent)."""
+        o = self._last_out
+        if o is None:
+            return None
+        return dict(
+            detection=_MODE_NAMES[int(o.detection)],
+            x=float(o.face_x), y=float(o.face_y),
+            width=float(o.face_w), height=float(o.face_h),
+            angle=float(o.face_angle), confidence=float(o.face_conf))
+
+
+def _resize_rgb(frame, w, h):
+    """Nearest-neighbor host resize for source -> canvas normalization."""
+    H, W = frame.shape[:2]
+    ys = (np.arange(h) * H // h).clip(0, H - 1)
+    xs = (np.arange(w) * W // w).clip(0, W - 1)
+    return frame[np.ix_(ys, xs)]

@@ -1,0 +1,170 @@
+"""Runtime tests: Tracker session loop, events, Ui, BatchedTracker, video sources."""
+
+import numpy as np
+import pytest
+
+import headtrackr_tpu as ht
+from headtrackr_tpu.runtime.video import ClipSource, SyntheticFaceSource, normalize_size
+
+H, W = 120, 160
+
+
+def _fr(cx=None, cy=None, blue=False):
+    if blue:
+        f = np.zeros((H, W, 3), np.uint8)
+        f[..., 2] = 250
+        return f
+    f = np.full((H, W, 3), 40, np.uint8)
+    if cx is not None:
+        f[cy - 12:cy + 12, cx - 12:cx + 12] = (230, 80, 60)
+    return f
+
+
+def _clip():
+    return np.stack([_fr(60, 50)] * 16 + [_fr(60 + t, 50) for t in range(15)]
+                    + [_fr(blue=True)] * 2 + [_fr(80, 60)] * 6)
+
+
+@pytest.fixture()
+def session():
+    bus = ht.events.EventBus()
+    t = ht.Tracker(ui=True, bus=bus, cascade=ht.toy_cascade())
+    log = []
+    for ty in (ht.events.STATUS, ht.events.FACETRACKING, ht.events.HEADTRACKING):
+        bus.add_event_listener(ty, lambda e, ty=ty: log.append((ty, e)))
+    return t, bus, log
+
+
+def test_tracker_lifecycle_events(session):
+    t, bus, log = session
+    assert t.init(ClipSource(_clip()))
+    n = t.run_clip()
+    assert n == len(_clip())
+    statuses = [e.status for ty, e in log if ty == ht.events.STATUS]
+    dedup = [s for i, s in enumerate(statuses) if i == 0 or statuses[i - 1] != s]
+    assert dedup == ["whitebalance", "detecting", "found", "redetecting", "found"]
+    face_evs = [e for ty, e in log if ty == ht.events.FACETRACKING]
+    head_evs = [e for ty, e in log if ty == ht.events.HEADTRACKING]
+    assert len(face_evs) > 10 and len(head_evs) > 5
+    e = face_evs[5]
+    assert e.detection == "CS" and e.confidence == 1.0 and e.width > 0
+    assert hasattr(e, "time") and hasattr(e, "angle")
+    he = head_evs[0]
+    assert 50 < he.z < 70  # init distance assumption ~60 cm
+    assert t.getFOV() > 0
+    assert t.status == "tracking"
+    assert t._ui.message == "Face found! Move your head!"
+
+
+def test_tracker_threaded_start_stop():
+    t = ht.Tracker(ui=False, bus=ht.events.EventBus(),
+                   cascade=ht.toy_cascade(), detectionInterval=5)
+    t.init(ClipSource(_clip(), loop=True))
+    import time
+    assert t.start()
+    time.sleep(1.5)
+    t.stop()
+    assert t.status == "stopped"
+
+
+def test_tracker_rejects_unknown_params():
+    with pytest.raises(TypeError):
+        ht.Tracker(nonsense=True)
+
+
+def test_batched_tracker_mixed_then_fast_path():
+    bt = ht.BatchedTracker(4, frame_shape=(H, W), cascade=ht.toy_cascade())
+
+    def fr(cx, cy):
+        return _fr(cx, cy)
+
+    frames = np.stack([fr(60, 50), fr(70, 60), fr(80, 70), fr(90, 80)])
+    for _ in range(17):
+        bt.step(frames)
+    assert bt.modes.tolist() == [2, 2, 2, 2]
+    out = bt.step(frames)  # all-CS fast path
+    xs = np.asarray(out.face_x)
+    assert len(set(xs.tolist())) == 4  # per-stream independence
+
+    bt.reset_stream(2)
+    assert bt.modes[2] == 0 and bt.modes[0] == 2
+
+
+def test_clip_source_and_normalize():
+    assert normalize_size(640, 480) == (320, 240)
+    assert normalize_size(480, 640) == (180, 240)
+    c = ClipSource(np.zeros((3, 10, 12, 3), np.uint8))
+    assert c.read() is not None and c.read() is not None and c.read() is not None
+    assert c.read() is None
+
+
+def test_synthetic_source_drives_lifecycle():
+    src = SyntheticFaceSource(width=W, height=H, size=24, n_frames=40)
+    t = ht.Tracker(ui=False, bus=ht.events.EventBus(), cascade=ht.toy_cascade())
+    t.init(src)
+    t.run_clip()
+    assert t.status in ("tracking",)
+
+
+def test_ui_message_tables():
+    from headtrackr_tpu.runtime.ui import STATUS_MESSAGES, SUPPORT_MESSAGES
+    assert set(STATUS_MESSAGES) == {"whitebalance", "detecting", "hints",
+                                    "redetecting", "lost", "found"}
+    assert set(SUPPORT_MESSAGES) == {"no getUserMedia", "no camera"}
+
+
+def test_controllers_pose_math():
+    from headtrackr_tpu.controllers import (realistic_absolute_camera_pose,
+                                            realistic_relative_camera_offset)
+    pose = realistic_absolute_camera_pose(
+        dict(x=5.0, y=3.0, z=60.0), 1.0, (0, 0, 0), 4 / 3)
+    assert pose.position == (5.0, 3.0, 60.0)
+    # fov formula src/controllers.js:62
+    import math
+    wh = 20.0
+    want = math.atan((wh / 2 + abs(3.0)) / 60.0) * 360 / math.pi
+    assert abs(pose.fov - want) < 1e-9
+    # x>0 -> no x offset; x<0 -> positive offset
+    assert pose.view_offset[2] == 0.0
+    pose2 = realistic_absolute_camera_pose(
+        dict(x=-5.0, y=-3.0, z=60.0), 1.0, (0, 0, 0), 4 / 3)
+    assert pose2.view_offset[2] == 10.0 and pose2.view_offset[3] == 0.0
+    tr, vo, fov = realistic_relative_camera_offset(
+        dict(x=2.0, y=1.0, z=60.0), 1.0, -5.0, 4 / 3)
+    assert tr == (2.0, 1.0, 55.0)
+
+
+def test_controller_subscription():
+    bus = ht.events.EventBus()
+    from headtrackr_tpu.controllers import RealisticAbsoluteCameraControl
+
+    class Cam:
+        aspect = 4 / 3
+        applied = None
+
+        def apply(self, pose):
+            self.applied = pose
+
+    cam = Cam()
+    ctl = RealisticAbsoluteCameraControl(cam, 1.0, (0, 0, 0), bus=bus)
+    bus.dispatch_event(ht.events.HEADTRACKING, dict(x=1.0, y=2.0, z=50.0))
+    assert cam.applied is not None and cam.applied.position[2] == 50.0
+    ctl.close()
+
+
+def test_camshift_object_api():
+    cs = ht.camshift.Tracker(calcAngles=True)
+    cs.initTracker(_fr(60, 50), ht.camshift.Rectangle(48, 38, 24, 24))
+    obj = cs.track(_fr(62, 52))
+    assert obj.width > 0 and obj.height > 0
+    assert cs.getBackProjectionImg().shape == (H, W, 3)
+    assert cs.getSearchWindow().width > 0
+
+
+def test_whitebalance_and_smoother_api():
+    assert abs(ht.getWhitebalance(np.full((10, 10, 3), 100, np.uint8)) - 100) < 1e-3
+    s = ht.Smoother(0.35, 35)
+    assert not s.initialized
+    s.init(dict(x=1.0, y=2.0, width=3.0, height=4.0))
+    out = s.smooth(dict(x=2.0, y=2.0, width=3.0, height=4.0))
+    assert abs(out["x"] - 1.35) < 1e-9
