@@ -15,10 +15,10 @@ Behavior spec: src/camshift.js (see oracle/camshift.py).  Design notes:
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-from ..ops.histogram import (backprojection_pdf, backprojection_weights,
-                             histogram_4096, histogram_rect, rgb_bins)
+from ..ops.histogram import histogram_and_pdf, histogram_rect, rgb_bins
 
 __all__ = ["CamshiftState", "init_state", "init_tracker", "track",
            "mean_shift", "camshift_step"]
@@ -66,20 +66,72 @@ def _js_shift(v):
     return jnp.where(jnp.isfinite(v), jnp.trunc(v), 0.0).astype(jnp.int32)
 
 
-def _masked_moments(pdf, rows, cols, wadx, wady, wadw, wadh):
-    """Moments of pdf over [wadx, wadw) x [wady, wadh) with vx/vy relative to the
-    window origin (src/camshift.js:79-107: w/h args are exclusive upper bounds)."""
+def _cumsum2d(p):
+    """Inclusive 2-D prefix sum via triangular matmuls (MXU) — far faster than
+    XLA's log-pass cumsum lowering on TPU.  f32-exact for integer-valued pdfs."""
+    H, W = p.shape
+    tri_r = jnp.asarray(np.tril(np.ones((H, H), np.float32)))
+    tri_c = jnp.asarray(np.triu(np.ones((W, W), np.float32)))
+    rows = jnp.dot(tri_r, p, preferred_element_type=jnp.float32)
+    return jnp.dot(rows, tri_c, preferred_element_type=jnp.float32)
+
+
+def _integral_planes(pdf):
+    """Inclusive 2-D prefix sums (zero row/col prepended) of pdf, x*pdf, y*pdf
+    with x/y ABSOLUTE coordinates — the first-moment planes the mean-shift loop
+    reads as 4 corner lookups per iteration.  Second moments are computed once
+    on the final window (see mean_shift).  Planes stay SEPARATE arrays: a
+    stacked (k, H, W) gets its small axis laid out on lanes by XLA (~21x HBM
+    padding blowup)."""
+    H, W = pdf.shape
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+
+    def ii(p):
+        return jnp.pad(_cumsum2d(p), ((1, 0), (1, 0)))        # (H+1, W+1)
+
+    return tuple(ii(p) for p in (pdf, x * pdf, y * pdf))
+
+
+def _box_sums(ii, x0, y0, x1, y1):
+    """Tuple of window sums over [x0, x1) x [y0, y1) from the integral planes."""
+    return tuple(p[y1, x1] - p[y0, x1] - p[y1, x0] + p[y0, x0] for p in ii)
+
+
+def _first_moments_ii(ii, wadx, wady, wadw, wadh):
+    """m00/m10/m01 with vx/vy relative to the window origin
+    (src/camshift.js:79-107: w/h args are exclusive upper bounds).
+
+    Absolute-coordinate sums shift to window-relative via the binomial
+    expansion; exact for integer-valued pdfs, ~f32-roundoff otherwise."""
+    Hp, Wp = ii[0].shape
+    empty = (wadw <= wadx) | (wadh <= wady)
+    x0 = jnp.minimum(wadx, Wp - 1)
+    y0 = jnp.minimum(wady, Hp - 1)
+    x1 = jnp.clip(wadw, x0, Wp - 1)
+    y1 = jnp.clip(wadh, y0, Hp - 1)
+    s, sx, sy = (jnp.where(empty, 0.0, v)
+                 for v in _box_sums(ii, x0, y0, x1, y1))
+    ox = wadx.astype(jnp.float32)
+    oy = wady.astype(jnp.float32)
+    return s, sx - ox * s, sy - oy * s
+
+
+def _second_moments(pdf, wadx, wady, wadw, wadh):
+    """One masked full-frame pass for m11/m20/m02 of the final window (the JS
+    computes second moments only at the stopping iteration,
+    src/camshift.js:291,300)."""
+    H, W = pdf.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     inside = ((rows >= wady) & (rows < wadh) & (cols >= wadx) & (cols < wadw))
     w = jnp.where(inside, pdf, 0.0)
     vx = (cols - wadx).astype(jnp.float32)
     vy = (rows - wady).astype(jnp.float32)
-    m00 = w.sum()
-    m10 = (vx * w).sum()
-    m01 = (vy * w).sum()
     m11 = (vx * vy * w).sum()
     m20 = (vx * vx * w).sum()
     m02 = (vy * vy * w).sum()
-    return m00, m10, m01, m11, m20, m02
+    return m11, m20, m02
 
 
 def mean_shift(pdf, window):
@@ -87,17 +139,15 @@ def mean_shift(pdf, window):
 
     Returns (window', moments dict at the stopping iteration, zero_mass flag)."""
     H, W = pdf.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ii = _integral_planes(pdf)
 
     def body(i, carry):
-        win, prevx, prevy, done, m = carry
+        win, prevx, prevy, done, m, wad = carry
         wadx = jnp.maximum(win[0], 0)
         wady = jnp.maximum(win[1], 0)
         wadw = jnp.minimum(wadx + win[2], W)
         wadh = jnp.minimum(wady + win[3], H)
-        m00, m10, m01, m11, m20, m02 = _masked_moments(
-            pdf, rows, cols, wadx, wady, wadw, wadh)
+        m00, m10, m01 = _first_moments_ii(ii, wadx, wady, wadw, wadh)
         nonzero = m00 > 0
         xc = jnp.where(nonzero, m10 / jnp.maximum(m00, 1e-30), jnp.nan)
         yc = jnp.where(nonzero, m01 / jnp.maximum(m00, 1e-30), jnp.nan)
@@ -106,21 +156,29 @@ def mean_shift(pdf, window):
         newx = win[0] + dx
         newy = win[1] + dy
         fixed = (newx == prevx) & (newy == prevy)
-        new_m = (m00, m10, m01, m11, m20, m02)
-        # Freeze after done: keep previous window and moments.
+        new_m = (m00, m10, m01)
+        new_wad = (wadx, wady, wadw, wadh)
+        # Freeze after done: keep previous window, moments and bounds.
         m_out = jax.tree_util.tree_map(
             lambda old, new: jnp.where(done, old, new), m, new_m)
+        wad_out = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(done, old, new), wad, new_wad)
         win_out = jnp.where(done, win, win.at[0].set(newx).at[1].set(newy))
         prevx_out = jnp.where(done, prevx, newx)
         prevy_out = jnp.where(done, prevy, newy)
-        return win_out, prevx_out, prevy_out, done | fixed, m_out
+        return win_out, prevx_out, prevy_out, done | fixed, m_out, wad_out
 
-    zeros = tuple(jnp.float32(0.0) for _ in range(6))
-    init = (window, window[0], window[1], jnp.bool_(False), zeros)
-    win, _, _, _, m = jax.lax.fori_loop(0, MEANSHIFT_ITERS, body, init)
+    zeros3 = tuple(jnp.float32(0.0) for _ in range(3))
+    zi = jnp.int32(0)
+    init = (window, window[0], window[1], jnp.bool_(False), zeros3,
+            (zi, zi, zi, zi))
+    win, _, _, _, m, wad = jax.lax.fori_loop(0, MEANSHIFT_ITERS, body, init)
 
     win = win.at[0].set(jnp.clip(win[0], 0, W)).at[1].set(jnp.clip(win[1], 0, H))
-    m00, m10, m01, m11, m20, m02 = m
+    m00, m10, m01 = m
+    # Second moments: one masked pass over the stopping iteration's bounds
+    # (the JS computes them only there, src/camshift.js:291,300).
+    m11, m20, m02 = _second_moments(pdf, *wad)
     nonzero = m00 > 0
     inv = jnp.where(nonzero, 1.0 / jnp.maximum(m00, 1e-30), jnp.inf)
     xc = m10 * inv
@@ -143,9 +201,7 @@ def track(state, frame_rgb, calc_angles=True):
     """One camshift frame step (src/camshift.js:213-259).  Returns new state."""
     H, W = frame_rgb.shape[0], frame_rgb.shape[1]
     bins = rgb_bins(frame_rgb)
-    cur_hist = histogram_4096(bins)
-    weights = backprojection_weights(state.model_hist, cur_hist)
-    pdf = backprojection_pdf(bins, weights)
+    _, pdf = histogram_and_pdf(bins, state.model_hist)
 
     win, m, zero_mass = mean_shift(pdf, state.window)
 

@@ -45,6 +45,18 @@ __all__ = ["detector_tables", "DetectorTables", "detect_candidates",
 CHUNK_A_END = 2
 CHUNK_B_END = 6
 
+# Deep stages are compacted at TILE granularity: a tile is a TY x TX block of
+# the window grid.  Tiles keep the plane reads aligned and few (batched
+# dynamic_slice of ~100 large blocks instead of ~30k tiny windows — XLA:TPU
+# serializes those into while loops).
+TILE_Y = 8
+TILE_X = 20
+TILE_WINDOWS = TILE_Y * TILE_X
+# Tile block shapes read from the three planes (window (dy,dx) + feature extent):
+B0_SHAPE = (2 * TILE_Y + 24, 2 * TILE_X + 24)    # (40, 64)
+B1_SHAPE = (TILE_Y + 12, TILE_X + 12)            # (20, 32)
+BI_SHAPE = (TILE_Y + 16, TILE_X + 12)            # (24, 32)
+
 
 # --------------------------------------------------------------------------
 # Static tables
@@ -74,6 +86,8 @@ class DetectorTables:
     flat_len: int                # length of the flat plane buffer
     # Per-window metadata (NumPy, become jnp constants on use):
     win_scale: np.ndarray        # (M,) i32 index into geoms
+    win_y2: np.ndarray           # (M,) i32 window-grid row
+    win_x2: np.ndarray           # (M,) i32 window-grid col
     win_b0: np.ndarray           # (M,) i32 window base offset in plane0
     win_b1: np.ndarray           # (M,) i32
     win_bI: np.ndarray           # (M,) i32
@@ -87,6 +101,15 @@ class DetectorTables:
     A_neg: np.ndarray            # (n_scales, K, 5) i32
     Z_pos: np.ndarray            # (K, 5) i8 in {-1, 0, 1, 2}
     Z_neg: np.ndarray            # (K, 5) i8
+    # Tile-compaction metadata:
+    n_tiles: int                 # total tiles across scales
+    tile_scale: np.ndarray       # (T,) i32
+    tile_ty: np.ndarray          # (T,) i32 tile row in its scale's grid
+    tile_tx: np.ndarray          # (T,) i32
+    geom_qh2: np.ndarray         # (n_scales,) i32
+    geom_qw2: np.ndarray         # (n_scales,) i32
+    geom_scale_x: np.ndarray     # (n_scales,) f32
+    geom_scale_y: np.ndarray     # (n_scales,) f32
 
 
 def _cascade_np(cascade):
@@ -106,7 +129,8 @@ def _tables_cached(w0, h0, interval, cascade_key):
 
     geoms = []
     flat = 0
-    meta = {k: [] for k in ("scale", "b0", "b1", "bI", "ox", "oy", "ow", "oh")}
+    meta = {k: [] for k in ("scale", "y2", "x2", "b0", "b1", "bI",
+                            "ox", "oy", "ow", "oh")}
     scale_x = 1.0
     scale_y = 1.0
     for i in range(spec.scale_upto):
@@ -127,6 +151,8 @@ def _tables_cached(w0, h0, interval, cascade_key):
             y2 = y2.ravel()
             x2 = x2.ravel()
             meta["scale"].append(np.full(y2.size, s_idx, np.int32))
+            meta["y2"].append(y2.astype(np.int32))
+            meta["x2"].append(x2.astype(np.int32))
             meta["b0"].append((g.start0 + 2 * y2 * W0 + 2 * x2).astype(np.int32))
             meta["b1"].append((g.start1 + y2 * W1 + x2).astype(np.int32))
             meta["bI"].append((g.startI + y2 * g.wI + x2).astype(np.int32))
@@ -155,13 +181,33 @@ def _tables_cached(w0, h0, interval, cascade_key):
             A[s][z1] = (yy[z1] * g.w1 + xx[z1]).astype(np.int32)
             A[s][z2] = (2 * yy[z2] * g.wI + 2 * xx[z2]).astype(np.int32)
 
+    # Tile grid metadata.
+    t_scale, t_ty, t_tx = [], [], []
+    for s_idx, g in enumerate(geoms):
+        nty = -(-g.qh2 // TILE_Y)
+        ntx = -(-g.qw2 // TILE_X)
+        ty, tx = np.meshgrid(np.arange(nty), np.arange(ntx), indexing="ij")
+        t_scale.append(np.full(ty.size, s_idx, np.int32))
+        t_ty.append(ty.ravel().astype(np.int32))
+        t_tx.append(tx.ravel().astype(np.int32))
+    t_scale = np.concatenate(t_scale) if t_scale else np.zeros((0,), np.int32)
+    t_ty = np.concatenate(t_ty) if t_ty else np.zeros((0,), np.int32)
+    t_tx = np.concatenate(t_tx) if t_tx else np.zeros((0,), np.int32)
+
     return DetectorTables(
         spec=spec, geoms=tuple(geoms), M=M, flat_len=flat,
-        win_scale=cat["scale"], win_b0=cat["b0"], win_b1=cat["b1"],
+        win_scale=cat["scale"], win_y2=cat["y2"], win_x2=cat["x2"],
+        win_b0=cat["b0"], win_b1=cat["b1"],
         win_bI=cat["bI"], out_x=cat["ox"], out_y=cat["oy"],
         out_w=cat["ow"], out_h=cat["oh"],
         A_pos=A_pos, A_neg=A_neg,
         Z_pos=c["pz"][:, :].astype(np.int8), Z_neg=c["nz"][:, :].astype(np.int8),
+        n_tiles=int(t_scale.size), tile_scale=t_scale, tile_ty=t_ty,
+        tile_tx=t_tx,
+        geom_qh2=np.asarray([g.qh2 for g in geoms], np.int32),
+        geom_qw2=np.asarray([g.qw2 for g in geoms], np.int32),
+        geom_scale_x=np.asarray([g.scale_x for g in geoms], np.float32),
+        geom_scale_y=np.asarray([g.scale_y for g in geoms], np.float32),
     )
 
 
@@ -237,49 +283,238 @@ def _dense_chunk(p0, p1, I, cascade_np, qh2, qw2, k_lo, k_hi, stages):
 
 
 # --------------------------------------------------------------------------
+# Survivor patches + MXU selection matmuls (the deep-stage fast path)
+# --------------------------------------------------------------------------
+#
+# A window's feature pixels live in a 756-value patch: 24x24 from plane0 at
+# (2*y2, 2*x2), 12x12 from plane1 at (y2, x2), and 6x6 from the interleaved
+# quarter plane at (y2, x2) stride 2.  Deep-stage evaluation for compacted
+# survivors becomes  values_f = Patch(S, 768) @ OneHot_f(768, Kc)  — one MXU
+# matmul per feature-pixel slot/side instead of millions of scalar gathers
+# (XLA TPU gathers measured ~100x slower than this formulation).
+
+PATCH_LEN = 768  # 576 + 144 + 36, padded to a lane multiple
+
+
+def _patch_index(z, x, y):
+    if z == 0:
+        return y * 24 + x
+    if z == 1:
+        return 576 + y * 12 + x
+    return 720 + y * 6 + x
+
+
+@functools.lru_cache(maxsize=64)
+def _selection_mats(cascade_key, k_lo, k_hi):
+    """Static one-hot selection matrices: per slot f and side, (768, Kc) f32 +
+    (Kc,) validity mask."""
+    c = _cascade_np(_TABLE_CASCADES[cascade_key])
+    Kc = k_hi - k_lo
+    out = {}
+    for side, (xx, yy, zz) in (("p", (c["px"], c["py"], c["pz"])),
+                               ("n", (c["nx"], c["ny"], c["nz"]))):
+        mats = []
+        for f in range(xx.shape[1]):
+            G = np.zeros((PATCH_LEN, Kc), np.float32)
+            valid = np.zeros((Kc,), bool)
+            for k in range(k_lo, k_hi):
+                z = int(zz[k, f])
+                if z >= 0:
+                    G[_patch_index(z, int(xx[k, f]), int(yy[k, f])), k - k_lo] = 1.0
+                    valid[k - k_lo] = True
+            if valid.any():
+                mats.append((G, valid))
+        out[side] = mats
+    return out
+
+
+def _tile_stacks(pyr, tables):
+    """Pad each active scale's (plane0, plane1, interleaved-quarter) into three
+    uniform stacks with tile-block margins so tile blocks extract with one
+    aligned dynamic_slice each."""
+    next_ = tables.spec.next
+    dims = dict(tables.spec.dims)
+    nty = [-(-g.qh2 // TILE_Y) for g in tables.geoms]
+    ntx = [-(-g.qw2 // TILE_X) for g in tables.geoms]
+    h0m = max(2 * TILE_Y * t + B0_SHAPE[0] for t in nty)
+    w0m = max(2 * TILE_X * t + B0_SHAPE[1] for t in ntx)
+    h1m = max(TILE_Y * t + B1_SHAPE[0] for t in nty)
+    w1m = max(TILE_X * t + B1_SHAPE[1] for t in ntx)
+    hIm = max(TILE_Y * t + BI_SHAPE[0] for t in nty)
+    wIm = max(TILE_X * t + BI_SHAPE[1] for t in ntx)
+
+    def pad_to(a, h, w):
+        return jnp.pad(a, ((0, h - a.shape[0]), (0, w - a.shape[1])))
+
+    p0s, p1s, iis = [], [], []
+    for g in tables.geoms:
+        i = g.level
+        p0s.append(pad_to(pyr[i * 4], h0m, w0m))
+        p1s.append(pad_to(pyr[(i + next_) * 4], h1m, w1m))
+        iis.append(pad_to(_interleave_quarters(
+            pyr[(i + 2 * next_) * 4 + 0], pyr[(i + 2 * next_) * 4 + 1],
+            pyr[(i + 2 * next_) * 4 + 2], pyr[(i + 2 * next_) * 4 + 3]),
+            hIm, wIm))
+    return jnp.stack(p0s), jnp.stack(p1s), jnp.stack(iis)
+
+
+def _tile_flatten(arr, qh2, qw2, nty, ntx, fill):
+    """(qh2, qw2) window-grid array -> (nty*ntx, TILE_WINDOWS) tile-major."""
+    a = jnp.pad(arr, ((0, nty * TILE_Y - qh2), (0, ntx * TILE_X - qw2)),
+                constant_values=fill)
+    a = a.reshape(nty, TILE_Y, ntx, TILE_X).transpose(0, 2, 1, 3)
+    return a.reshape(nty * ntx, TILE_WINDOWS)
+
+
+def _extract_tile_blocks(stacks, tscale, ty, tx):
+    """(T,) tile coords -> three (T, bh, bw) u8 block batches.
+
+    vmap(dynamic_slice) lowers to a serial while loop on XLA:TPU, but at tile
+    granularity that is ~100 iterations of large aligned blocks — cheap."""
+    P0s, P1s, Is = stacks
+
+    def one(s, y, x):
+        b0 = jax.lax.dynamic_slice(P0s, (s, 2 * TILE_Y * y, 2 * TILE_X * x),
+                                   (1, *B0_SHAPE))[0]
+        b1 = jax.lax.dynamic_slice(P1s, (s, TILE_Y * y, TILE_X * x),
+                                   (1, *B1_SHAPE))[0]
+        bi = jax.lax.dynamic_slice(Is, (s, TILE_Y * y, TILE_X * x),
+                                   (1, *BI_SHAPE))[0]
+        return b0, b1, bi
+
+    return jax.vmap(one)(tscale, ty, tx)
+
+
+def _tile_patches(b0, b1, bi):
+    """Tile blocks -> (T, TILE_WINDOWS, 768) bf16 patch tensor via 756 STATIC
+    strided slices (window (dy,dx) reads block0[2dy+py, 2dx+px],
+    block1[dy+py, dx+px], blockI[dy+2py, dx+2px])."""
+    maps = []
+    for py in range(24):
+        for px in range(24):
+            maps.append(jax.lax.slice(
+                b0, (0, py, px),
+                (b0.shape[0], py + 2 * TILE_Y - 1, px + 2 * TILE_X - 1),
+                (1, 2, 2)))
+    for py in range(12):
+        for px in range(12):
+            maps.append(jax.lax.slice(
+                b1, (0, py, px),
+                (b1.shape[0], py + TILE_Y, px + TILE_X)))
+    for py in range(6):
+        for px in range(6):
+            maps.append(jax.lax.slice(
+                bi, (0, 2 * py, 2 * px),
+                (bi.shape[0], 2 * py + TILE_Y, 2 * px + TILE_X)))
+    T = b0.shape[0]
+    # stack along the MAJOR axis (contiguous writes; a minor-dim stack costs a
+    # full relayout, ~1 ms/frame) -> transposed patch matrix (768, T*160)
+    stackd = jnp.stack(maps, axis=0)             # (756, T, TILE_Y, TILE_X)
+    patches_t = stackd.reshape(756, T * TILE_WINDOWS)
+    patches_t = jnp.pad(patches_t, ((0, PATCH_LEN - 756), (0, 0)))
+    return patches_t.astype(jnp.bfloat16)
+
+
+def _patch_chunk(patches_t, cascade_key, k_lo, k_hi, stages, valid, conf_in,
+                 cascade_np):
+    """Evaluate weak [k_lo, k_hi) for survivor patches via selection matmuls.
+
+    patches_t: TRANSPOSED patch matrix (768, W_); all intermediates are
+    (Kc, W_) so the patch assembly never pays a minor-dim relayout."""
+    mats = _selection_mats(cascade_key, k_lo, k_hi)
+
+    def side_minmax(side, reduce_min):
+        acc = None
+        for G, vmask in mats[side]:
+            vals = jnp.dot(jnp.asarray(G.T, jnp.bfloat16), patches_t,
+                           preferred_element_type=jnp.float32)  # (Kc, W_)
+            fill = np.float32(255.0) if reduce_min else np.float32(0.0)
+            vals = jnp.where(jnp.asarray(vmask)[:, None], vals, fill)
+            if acc is None:
+                acc = vals
+            else:
+                acc = jnp.minimum(acc, vals) if reduce_min else jnp.maximum(acc, vals)
+        return acc
+
+    pmin = side_minmax("p", True)
+    nmax = side_minmax("n", False)
+    passed = pmin > nmax                                    # (Kc, W_)
+    alpha = np.asarray(cascade_np["alpha"][k_lo:k_hi])
+    votes = jnp.where(passed, alpha[:, 1][:, None], alpha[:, 0][:, None])
+
+    alive = valid
+    conf = conf_in
+    for (k0, k1_, thr) in stages:
+        ssum = votes[k0 - k_lo:k1_ - k_lo].sum(axis=0)      # (W_,)
+        alive = alive & (ssum >= np.float32(thr))
+        conf = jnp.where(valid, ssum, conf)
+    return alive, conf
+
+
+# --------------------------------------------------------------------------
 # Compaction + gather-based deep chunks
 # --------------------------------------------------------------------------
 
 def compact_indices(mask, size):
     """Indices of True entries of a flat bool mask, ascending, padded with
-    ``mask.size`` (an out-of-range sentinel).  O(M), vmap-safe (no nonzero)."""
+    ``mask.size`` (an out-of-range sentinel).  Implemented with top_k (XLA TPU
+    scatter lowers to a serial per-element loop; top_k is parallel), vmap-safe.
+    Overflow beyond ``size`` is dropped (documented capacity limit)."""
     m = mask.reshape(-1)
     M = m.shape[0]
-    pos = jnp.cumsum(m.astype(jnp.int32)) - 1        # target slot per survivor
-    slot = jnp.where(m, jnp.minimum(pos, size - 1), size)  # dead slot for losers
-    # Losers all write index M to the dead slot; overflow survivors clamp to the
-    # last slot (documented capacity limit, counted below).
-    out = jnp.full((size + 1,), M, jnp.int32)
-    out = out.at[slot].min(jnp.arange(M, dtype=jnp.int32))
-    n = jnp.minimum(pos[-1] + 1, size) if M > 0 else jnp.int32(0)
-    return out[:size], n
+    if M == 0:
+        return jnp.full((size,), 0, jnp.int32), jnp.int32(0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).reshape(-1)
+    key = jnp.where(m, idx, M)          # survivors keep their index, losers M
+    k = min(size, M)
+    neg_vals, _ = jax.lax.top_k(-key, k)  # k smallest keys, ascending after neg
+    out = -neg_vals
+    if k < size:
+        out = jnp.concatenate([out, jnp.full((size - k,), M, jnp.int32)])
+    n = jnp.minimum(m.sum().astype(jnp.int32), size)
+    return out, n
 
 
 def _gather_chunk(flatbuf, tables, cascade_np, idx, valid, k_lo, k_hi, stages,
                   conf_in):
-    """Evaluate weak [k_lo, k_hi) for the survivor windows ``idx`` via gathers."""
+    """Evaluate weak [k_lo, k_hi) for the survivor windows ``idx`` via gathers.
+
+    All device intermediates are 2-D (survivors, Kc): a trailing slot dim of 5
+    would pad to a 128-lane tile on TPU (32 GB blowups at serving batch sizes),
+    so the <=5 feature-pixel slots are a Python loop accumulating min/max.
+    """
     c = cascade_np
     Kc = k_hi - k_lo
-    scale = jnp.asarray(tables.win_scale)[jnp.minimum(idx, tables.M - 1)]
-    b0 = jnp.asarray(tables.win_b0)[jnp.minimum(idx, tables.M - 1)]
-    b1 = jnp.asarray(tables.win_b1)[jnp.minimum(idx, tables.M - 1)]
-    bI = jnp.asarray(tables.win_bI)[jnp.minimum(idx, tables.M - 1)]
-    bz = jnp.stack([b0, b1, bI], axis=1)                       # (S_, 3)
+    safe = jnp.minimum(idx, tables.M - 1)
+    scale = jnp.asarray(tables.win_scale)[safe]
+    bz = (jnp.asarray(tables.win_b0)[safe],
+          jnp.asarray(tables.win_b1)[safe],
+          jnp.asarray(tables.win_bI)[safe])
 
-    def side(A_all, Z):
-        A = jnp.asarray(A_all[:, k_lo:k_hi, :])[scale]          # (S_, Kc, 5)
-        z = np.maximum(Z[k_lo:k_hi, :], 0).astype(np.int32)     # (Kc, 5) static
-        base = bz[:, z]                                          # (S_, Kc, 5)
-        addr = A + base
-        vals = flatbuf[addr.reshape(-1)].reshape(idx.shape[0], Kc, 5)
-        return vals
+    def side(A_all, Z, reduce_min):
+        acc = None
+        for f in range(A_all.shape[2]):
+            zf = Z[k_lo:k_hi, f]                       # (Kc,) static
+            vmask = zf >= 0
+            if not vmask.any():
+                continue
+            z = np.maximum(zf, 0).astype(np.int32)
+            A = jnp.asarray(A_all[:, k_lo:k_hi, f])[scale]   # (S_, Kc) i32
+            # per-weak plane base: select among the 3 base vectors by static z
+            base = jnp.where(jnp.asarray(z == 0)[None, :], bz[0][:, None],
+                             jnp.where(jnp.asarray(z == 1)[None, :],
+                                       bz[1][:, None], bz[2][:, None]))
+            vals = flatbuf[(A + base).reshape(-1)].reshape(idx.shape[0], Kc)
+            fill = jnp.uint8(255) if reduce_min else jnp.uint8(0)
+            vals = jnp.where(jnp.asarray(vmask)[None, :], vals, fill)
+            if acc is None:
+                acc = vals
+            else:
+                acc = jnp.minimum(acc, vals) if reduce_min else jnp.maximum(acc, vals)
+        return acc
 
-    vmask_p = np.asarray(tables.Z_pos[k_lo:k_hi] >= 0)
-    vmask_n = np.asarray(tables.Z_neg[k_lo:k_hi] >= 0)
-    pv = side(tables.A_pos, tables.Z_pos)
-    nv = side(tables.A_neg, tables.Z_neg)
-    pmin = jnp.min(jnp.where(vmask_p[None], pv, jnp.uint8(255)), axis=2)
-    nmax = jnp.max(jnp.where(vmask_n[None], nv, jnp.uint8(0)), axis=2)
+    pmin = side(tables.A_pos, np.asarray(tables.Z_pos), True)
+    nmax = side(tables.A_neg, np.asarray(tables.Z_neg), False)
     passed = pmin > nmax                                         # (S_, Kc)
     alpha = np.asarray(cascade_np["alpha"][k_lo:k_hi])           # (Kc, 2)
     votes = jnp.where(passed, alpha[None, :, 1], alpha[None, :, 0])
@@ -372,9 +607,12 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
     """Run the full cascade; returns per-candidate-slot arrays (pre-grouping).
 
     gray: (H, W) u8.  Output dict of (k_cand,) arrays x, y, width, height,
-    confidence + valid mask, in JS seq order (scale -> window-grid row-major,
-    which matches phase -> y -> x after the interleaving map), plus overflow
-    counters.
+    confidence + valid mask.  Ordering within the candidate list is
+    (scale, tile, window) — the same set as the JS seq, order differing only in
+    enumeration (documented deviation; affects exact-confidence ties only).
+
+    k1: deep-stage window capacity, realized as ceil(k1/160) surviving tiles
+    (each tile = 8x20 windows); k2: stage-6+ window capacity.
     """
     h0, w0 = gray.shape
     tables = detector_tables(w0, h0, cascade, interval)
@@ -389,8 +627,9 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
 
     alive_flat = []
     conf_flat = []
-    flat_parts = []
-    for g in tables.geoms:
+    t_alive = []
+    t_conf = []
+    for s_idx, g in enumerate(tables.geoms):
         i = g.level
         p0 = pyr[i * 4]
         p1 = pyr[(i + next_) * 4]
@@ -403,76 +642,126 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
                                    _stage_ranges(cascade, 0, a_end))
         alive_flat.append(alive.reshape(-1))
         conf_flat.append(conf.reshape(-1))
-        flat_parts.extend([p0.reshape(-1), p1.reshape(-1), I.reshape(-1)])
+        nty = -(-g.qh2 // TILE_Y)
+        ntx = -(-g.qw2 // TILE_X)
+        t_alive.append(_tile_flatten(alive, g.qh2, g.qw2, nty, ntx, False))
+        t_conf.append(_tile_flatten(conf, g.qh2, g.qw2, nty, ntx, 0.0))
 
     if not alive_flat:  # image too small for any window
         z = jnp.zeros((k_cand,), jnp.float32)
         return dict(x=z, y=z, width=z, height=z, confidence=z,
                     valid=jnp.zeros((k_cand,), bool), overflow=jnp.int32(0))
 
-    alive_all = jnp.concatenate(alive_flat)
-    conf_all = jnp.concatenate(conf_flat)
-    flatbuf = jnp.concatenate(flat_parts)
+    key = _cascade_digest(cascade)
 
     if a_end < S:
-        # Chunk B on first compaction.
-        idx1, n1 = compact_indices(alive_all, k1)
-        valid1 = idx1 < tables.M
-        conf1 = conf_all[jnp.minimum(idx1, tables.M - 1)]
-        alive1, conf1 = _gather_chunk(flatbuf, tables, c, idx1, valid1,
-                                      int(cum[a_end]), int(cum[b_end]),
-                                      _stage_ranges(cascade, a_end, b_end), conf1)
-        if b_end < S:
-            # Chunk C on second compaction.
-            idx2_in1, n2 = compact_indices(alive1, k2)
-            valid2 = idx2_in1 < k1
-            idx2 = idx1[jnp.minimum(idx2_in1, k1 - 1)]
-            conf2 = conf1[jnp.minimum(idx2_in1, k1 - 1)]
-            alive2, conf2 = _gather_chunk(flatbuf, tables, c, idx2, valid2,
-                                          int(cum[b_end]), int(cum[S]),
-                                          _stage_ranges(cascade, b_end, S), conf2)
-            fin_idx_src, fin_alive, fin_conf = idx2, alive2, conf2
-        else:
-            fin_idx_src, fin_alive, fin_conf = idx1, alive1, conf1
-    else:
-        idx1, n1 = compact_indices(alive_all, k1)
-        valid1 = idx1 < tables.M
-        fin_idx_src = idx1
-        fin_alive = valid1
-        fin_conf = conf_all[jnp.minimum(idx1, tables.M - 1)]
+        # ---- tile compaction --------------------------------------------
+        talive = jnp.concatenate(t_alive)         # (T_all, 160) bool
+        tconf = jnp.concatenate(t_conf)           # (T_all, 160) f32
+        k_tiles = int(np.clip(-(-k1 // TILE_WINDOWS), 8, 512))
+        k_tiles = min(k_tiles, tables.n_tiles)
+        tidx, _nt = compact_indices(talive.any(axis=1), k_tiles)
+        tvalid = tidx < tables.n_tiles
+        tsafe = jnp.minimum(tidx, tables.n_tiles - 1)
 
-    # Final compaction into candidate slots (ascending seq order preserved).
-    slot_idx, n_cand = compact_indices(fin_alive, k_cand)
-    cvalid = slot_idx < fin_alive.shape[0]
-    sel = jnp.minimum(slot_idx, fin_alive.shape[0] - 1)
-    widx = fin_idx_src[sel]
-    wconf = fin_conf[sel]
-    wsafe = jnp.minimum(widx, tables.M - 1)
+        tscale = jnp.asarray(tables.tile_scale)[tsafe]
+        ty = jnp.asarray(tables.tile_ty)[tsafe]
+        tx = jnp.asarray(tables.tile_tx)[tsafe]
+
+        stacks = _tile_stacks(pyr, tables)
+        b0, b1, bi = _extract_tile_blocks(stacks, tscale, ty, tx)
+        patches_t = _tile_patches(b0, b1, bi)     # (768, k_tiles*160) bf16
+        W_ = k_tiles * TILE_WINDOWS
+
+        # per-window metadata within surviving tiles
+        dy = jnp.arange(TILE_WINDOWS, dtype=jnp.int32) // TILE_X
+        dx = jnp.arange(TILE_WINDOWS, dtype=jnp.int32) % TILE_X
+        wy2 = (ty[:, None] * TILE_Y + dy[None, :]).reshape(W_)
+        wx2 = (tx[:, None] * TILE_X + dx[None, :]).reshape(W_)
+        wscale = jnp.repeat(tscale, TILE_WINDOWS)
+        qh2_s = jnp.asarray(tables.geom_qh2)[wscale]
+        qw2_s = jnp.asarray(tables.geom_qw2)[wscale]
+        in_grid = (wy2 < qh2_s) & (wx2 < qw2_s)
+
+        alive0 = (talive[tsafe].reshape(W_) & in_grid
+                  & jnp.repeat(tvalid, TILE_WINDOWS))
+        conf0 = tconf[tsafe].reshape(W_)
+
+        # ---- chunk B: stages [a_end, b_end) on all tile windows ----------
+        alive1, conf1 = _patch_chunk(patches_t, key,
+                                     int(cum[a_end]), int(cum[b_end]),
+                                     _stage_ranges(cascade, a_end, b_end),
+                                     alive0, conf0, c)
+        if b_end < S:
+            # ---- chunk C: window compaction via one-hot row select -------
+            idx2, _n2 = compact_indices(alive1, k2)
+            valid2 = idx2 < W_
+            safe2 = jnp.minimum(idx2, W_ - 1)
+            onehot = (idx2[None, :] ==
+                      jax.lax.broadcasted_iota(jnp.int32, (W_, 1), 0))
+            patches2_t = jnp.dot(patches_t, onehot.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(jnp.bfloat16)   # (768, k2)
+            conf2 = conf1[safe2]
+            alive2, conf2 = _patch_chunk(patches2_t, key,
+                                         int(cum[b_end]), int(cum[S]),
+                                         _stage_ranges(cascade, b_end, S),
+                                         valid2, conf2, c)
+            fin_alive, fin_conf = alive2, conf2
+            fin_wy2, fin_wx2, fin_ws = wy2[safe2], wx2[safe2], wscale[safe2]
+        else:
+            fin_alive, fin_conf = alive1, conf1
+            fin_wy2, fin_wx2, fin_ws = wy2, wx2, wscale
+
+        slot_idx, _nc = compact_indices(fin_alive, k_cand)
+        cvalid = slot_idx < fin_alive.shape[0]
+        sel = jnp.minimum(slot_idx, fin_alive.shape[0] - 1)
+        sx = jnp.asarray(tables.geom_scale_x)[fin_ws[sel]]
+        sy = jnp.asarray(tables.geom_scale_y)[fin_ws[sel]]
+        return dict(
+            x=2 * fin_wx2[sel].astype(jnp.float32) * sx,
+            y=2 * fin_wy2[sel].astype(jnp.float32) * sy,
+            width=24 * sx,
+            height=24 * sy,
+            confidence=fin_conf[sel],
+            valid=cvalid,
+            overflow=jnp.int32(0),
+        )
+
+    # ---- single-chunk cascades (e.g. toy models): no deep stages ---------
+    alive_all = jnp.concatenate(alive_flat)
+    conf_all = jnp.concatenate(conf_flat)
+    idx1, n1 = compact_indices(alive_all, k_cand)
+    cvalid = idx1 < tables.M
+    wsafe = jnp.minimum(idx1, tables.M - 1)
     return dict(
         x=jnp.asarray(tables.out_x)[wsafe],
         y=jnp.asarray(tables.out_y)[wsafe],
         width=jnp.asarray(tables.out_w)[wsafe],
         height=jnp.asarray(tables.out_h)[wsafe],
-        confidence=wconf,
+        confidence=conf_all[wsafe],
         valid=cvalid,
         overflow=jnp.int32(0),
     )
 
 
-def detect_objects_padded(gray, cascade, interval=5, min_neighbors=1, k_cand=256):
+def detect_objects_padded(gray, cascade, interval=5, min_neighbors=1, k_cand=256,
+                          k1=4096, k2=512):
     """Grouped detections (the equivalent of ccv.detect_objects with
     min_neighbors > 0).  Returns dict of (k_cand,) arrays + kept mask."""
-    cand = detect_candidates(gray, cascade, interval, k_cand=k_cand)
+    cand = detect_candidates(gray, cascade, interval, k1=k1, k2=k2, k_cand=k_cand)
     if not min_neighbors > 0:
         return cand
     return group_candidates(cand["x"], cand["y"], cand["width"], cand["height"],
                             cand["confidence"], cand["valid"], min_neighbors)
 
 
-def detect_best(gray, cascade, interval=5, min_neighbors=1, k_cand=256):
+def detect_best(gray, cascade, interval=5, min_neighbors=1, k_cand=256,
+                k1=4096, k2=512):
     """The facetrackr candidate pick (src/facetrackr.js:157-165): max confidence,
     first wins ties.  Returns (found, x, y, w, h, confidence)."""
-    g = detect_objects_padded(gray, cascade, interval, min_neighbors, k_cand)
+    g = detect_objects_padded(gray, cascade, interval, min_neighbors, k_cand,
+                              k1, k2)
     score = jnp.where(g["kept"], g["confidence"], -jnp.inf)
     i = jnp.argmax(score)
     found = jnp.any(g["kept"])

@@ -80,6 +80,7 @@ class StepOutput(NamedTuple):
     status: jnp.ndarray          # i32 bitmask of STATUS_*
     event_face: jnp.ndarray      # bool: facetrackingEvent fired
     fov_deg: jnp.ndarray         # f32 current FOV estimate in degrees
+    mode_after: jnp.ndarray      # i32 mode for the NEXT frame (scheduler use)
 
 
 def init_state(whitebalancing=True):
@@ -141,7 +142,7 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full"):
         gray = grayscale(frame)
         found, x, y, w, h, conf = detect_best(
             gray, cascade, config.detectorInterval, config.minNeighbors,
-            config.maxCandidates)
+            config.maxCandidates, config.survivorsStage2, config.survivorsDeep)
         conf = jnp.where(found, conf, f32(-10000.0))
         res = _Result(x=jnp.where(found, x, 0.0).astype(f32),
                       y=jnp.where(found, y, 0.0).astype(f32),
@@ -168,7 +169,14 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full"):
     def full_step(state, frame):
         entry_mode = state.mode
         if variant == "track":
-            state, res = cs_branch(state, frame)
+            # camshift for CS streams; freeze (no-op) for WB/VJ streams so the
+            # serving scheduler may dispatch this with a one-tick-stale mode
+            # vector (a non-CS stream just stalls until the full step runs)
+            is_cs = entry_mode == MODE_CS
+            new_state, res = cs_branch(state, frame)
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(is_cs, new, old), new_state, state)
+            res = res._replace(conf=jnp.where(is_cs, res.conf, f32(0.0)))
         else:
             state, res = jax.lax.switch(
                 entry_mode, [wb_branch, vj_branch, cs_branch], state, frame)
@@ -178,6 +186,8 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full"):
         status = status | jnp.where(detection == MODE_WB, STATUS_WHITEBALANCE, 0)
         status = status | jnp.where(
             state.first_run & (detection == MODE_VJ), STATUS_DETECTING, 0)
+        if variant == "track":  # stalled non-CS streams emit nothing
+            status = jnp.where(entry_mode == MODE_CS, status, 0)
 
         is_cs = detection == MODE_CS
         conf_gate = res.conf != 0  # src/main.js:186
@@ -264,6 +274,7 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full"):
             status=status,
             event_face=is_cs & config.sendEvents,
             fov_deg=fov_width * f32(180.0 / jnp.pi),
+            mode_after=mode_after,
         )
         new_state = state._replace(
             mode=mode_after, sm_sp=sm_sp, sm_init=sm_init,

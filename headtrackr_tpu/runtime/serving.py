@@ -25,37 +25,83 @@ from ..models import facetracker as ft
 __all__ = ["BatchedTracker", "make_batched_steps"]
 
 
-def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True):
-    """Returns (step_full, step_track): jitted vmapped step functions.
+def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
+                       bucket=32):
+    """Returns (step_full, step_track, step_bucket): jitted vmapped steps.
+
+    step_bucket(state, frames, idx) runs the camshift fast path for ALL
+    streams plus the full WB/VJ machinery for the <= ``bucket`` streams named
+    by idx (padded with N): the common serving tick where a handful of streams
+    are (re)detecting while everyone else tracks.  Detector cost scales with
+    the bucket, not the batch.
 
     With a mesh, state and frames are sharded over the leading (stream) axis on
     mesh axis 'streams'; XLA partitions the step SPMD over ICI with no
     collectives in the hot path.
     """
-    full = jax.vmap(ft.make_step(cascade, config, frame_shape, "full"))
-    track = jax.vmap(ft.make_step(cascade, config, frame_shape, "track"))
+    full1 = ft.make_step(cascade, config, frame_shape, "full")
+    track1 = ft.make_step(cascade, config, frame_shape, "track")
+    full = jax.vmap(full1)
+    track = jax.vmap(track1)
+
+    def bucket_step(state, frames, idx):
+        N = frames.shape[0]
+        state1, out = track(state, frames)          # CS streams advance
+        valid = idx < N
+        safe = jnp.minimum(idx, N - 1)
+        sub_state = jax.tree_util.tree_map(lambda a: a[safe], state1)
+        sub_frames = frames[safe]
+        sub_state2, sub_out = full(sub_state, sub_frames)
+
+        def scatter(buf, sub):
+            cur = buf[safe]
+            vshape = (valid.shape[0],) + (1,) * (buf.ndim - 1)
+            merged = jnp.where(valid.reshape(vshape), sub, cur)
+            return buf.at[safe].set(merged)
+
+        state2 = jax.tree_util.tree_map(scatter, state1, sub_state2)
+        out2 = jax.tree_util.tree_map(scatter, out, sub_out)
+        return state2, out2
+
     kw = dict(donate_argnums=0) if donate else {}
     if mesh is None:
-        return jax.jit(full, **kw), jax.jit(track, **kw)
+        return (jax.jit(full, **kw), jax.jit(track, **kw),
+                jax.jit(bucket_step, **kw))
     shard = NamedSharding(mesh, P("streams"))
+    rep = NamedSharding(mesh, P())
     return (jax.jit(full, in_shardings=(shard, shard), **kw),
-            jax.jit(track, in_shardings=(shard, shard), **kw))
+            jax.jit(track, in_shardings=(shard, shard), **kw),
+            jax.jit(bucket_step, in_shardings=(shard, shard, rep), **kw))
 
 
 class BatchedTracker:
     """Serve N independent streams with one device program per tick."""
 
     def __init__(self, n_streams, frame_shape=(240, 320), params=None,
-                 cascade=None, mesh=None, **kw):
+                 cascade=None, mesh=None, sync_interval=8, bucket=32, **kw):
+        """sync_interval: ticks between host reads of the device mode vector.
+        Between syncs the scheduler dispatches with a stale mode view — safe
+        (the track variant freezes non-CS streams), at the cost of up to
+        sync_interval ticks of detection latency for a stream that just lost
+        track.  Each host read costs a host<->device round trip, so this
+        directly trades tail latency for throughput."""
         merged = dict(params or {})
         merged.update(kw)
+        # batched detection: keep per-stream survivor buckets small so the
+        # (streams x survivors) gather intermediates stay modest on device
+        if n_streams >= 32:
+            merged.setdefault("survivorsStage2", 1024)
+            merged.setdefault("survivorsDeep", 128)
+            merged.setdefault("maxCandidates", 64)
         self.config = TrackerConfig(**merged)
         self.n = n_streams
         self.frame_shape = frame_shape
         self.cascade = cascade if cascade is not None else frontalface()
         self.mesh = mesh
-        self._step_full, self._step_track = make_batched_steps(
-            self.cascade, self.config, frame_shape, mesh)
+        self.bucket = max(1, min(int(bucket), n_streams))
+        self._step_full, self._step_track, self._step_bucket = \
+            make_batched_steps(self.cascade, self.config, frame_shape, mesh,
+                               bucket=self.bucket)
         state1 = ft.init_state(self.config.whitebalancing)
         self.state = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(), state1)
@@ -65,26 +111,56 @@ class BatchedTracker:
         self._modes = np.full((n_streams,), ft.MODE_WB if
                               self.config.whitebalancing else ft.MODE_VJ,
                               np.int32)
+        self._pending_modes = None  # device array from a previous tick
+        self.sync_interval = max(1, int(sync_interval))
+        self._tick = 0
 
     def reset_stream(self, i):
         """Re-initialize one stream (new camera connects)."""
+        if self._pending_modes is not None:  # drain before overwriting
+            self._modes = np.array(self._pending_modes)
+            self._pending_modes = None
         s1 = ft.init_state(self.config.whitebalancing)
         self.state = jax.tree_util.tree_map(
             lambda buf, v: buf.at[i].set(v), self.state, s1)
         self._modes[i] = int(s1.mode)
 
-    def step(self, frames):
+    def step(self, frames, sync=False):
         """frames: (N, H, W, 3) u8.  Returns StepOutput batch (device arrays).
 
-        Picks the camshift fast path when every stream is tracking.
+        Picks the camshift fast path when every stream is tracking.  The mode
+        vector used for dispatch is one tick stale (pipelined: reading it only
+        synchronizes on the PREVIOUS tick, which has already finished) — safe
+        because the track variant freezes non-CS streams until the next full
+        step.  Pass sync=True to block on this tick's modes instead.
         """
         frames = jnp.asarray(frames)
-        all_cs = bool((self._modes == ft.MODE_CS).all())
-        fn = self._step_track if all_cs else self._step_full
-        self.state, out = fn(self.state, frames)
-        self._modes = np.array(self.state.mode)  # writable host copy
+        self._tick += 1
+        due = sync or (self._tick % self.sync_interval == 0)
+        if due and self._pending_modes is not None:
+            self._modes = np.array(self._pending_modes)
+            self._pending_modes = None
+        non_cs = np.nonzero(self._modes != ft.MODE_CS)[0]
+        if non_cs.size == 0:
+            self.state, out = self._step_track(self.state, frames)
+        elif non_cs.size <= self.bucket:
+            idx = np.full((self.bucket,), self.n, np.int32)
+            idx[:non_cs.size] = non_cs
+            self.state, out = self._step_bucket(self.state, frames,
+                                                jnp.asarray(idx))
+        else:
+            self.state, out = self._step_full(self.state, frames)
+        if sync:
+            self._modes = np.array(self.state.mode)
+            self._pending_modes = None
+        else:
+            # out.mode_after is an output buffer (not donated next tick)
+            self._pending_modes = out.mode_after
         return out
 
     @property
     def modes(self):
+        if self._pending_modes is not None:
+            self._modes = np.array(self._pending_modes)
+            self._pending_modes = None
         return self._modes.copy()
