@@ -75,6 +75,11 @@ def main():
     bt = ht.BatchedTracker(args.streams, frame_shape=(H, W), ui=False)
     frames = jnp.asarray(frames_np)
 
+    print("# warming up (compiling 3 step programs)...", file=sys.stderr)
+    t_c0 = time.time()
+    bt.warmup()
+    print(f"# compile: {time.time() - t_c0:.0f}s", file=sys.stderr)
+
     # Lock phase: WB stabilization (15 ticks) + VJ detect + CS handoff.
     t_lock0 = time.time()
     for _ in range(16):

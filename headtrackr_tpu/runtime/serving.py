@@ -47,11 +47,13 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
     def bucket_step(state, frames, idx):
         N = frames.shape[0]
         state1, out = track(state, frames)          # CS streams advance
-        valid = idx < N
         safe = jnp.minimum(idx, N - 1)
         sub_state = jax.tree_util.tree_map(lambda a: a[safe], state1)
         sub_frames = frames[safe]
         sub_state2, sub_out = full(sub_state, sub_frames)
+        # apply only to valid, still-non-CS streams (a stream that re-locked
+        # between mode syncs already advanced via the track pass above)
+        valid = (idx < N) & (sub_state.mode != ft.MODE_CS)
 
         def scatter(buf, sub):
             cur = buf[safe]
@@ -114,6 +116,20 @@ class BatchedTracker:
         self._pending_modes = None  # device array from a previous tick
         self.sync_interval = max(1, int(sync_interval))
         self._tick = 0
+
+    def warmup(self):
+        """Compile all three step programs up front (the bucket program would
+        otherwise compile lazily on the first track-loss tick — a multi-minute
+        stall in the middle of serving)."""
+        frames = jnp.zeros((self.n,) + self.frame_shape + (3,), jnp.uint8)
+        idx = jnp.full((self.bucket,), self.n, jnp.int32)
+        for fn, args in ((self._step_track, (frames,)),
+                         (self._step_bucket, (frames, idx)),
+                         (self._step_full, (frames,))):
+            state = jax.tree_util.tree_map(jnp.copy, self.state)
+            st, out = fn(state, *args)
+            np.asarray(out.mode_after)  # force completion
+        return self
 
     def reset_stream(self, i):
         """Re-initialize one stream (new camera connects)."""

@@ -1,0 +1,49 @@
+"""Checkpoint/resume tests: serving state round-trips through .npz."""
+
+import numpy as np
+import jax
+import pytest
+
+import headtrackr_tpu as ht
+from headtrackr_tpu.models import facetracker as ft
+from headtrackr_tpu.runtime.checkpoint import (load_state, load_tracker,
+                                               save_state, save_tracker)
+
+H, W = 120, 160
+
+
+def _fr(cx, cy):
+    f = np.full((H, W, 3), 40, np.uint8)
+    f[cy - 12:cy + 12, cx - 12:cx + 12] = (230, 80, 60)
+    return f
+
+
+def test_single_state_roundtrip(tmp_path):
+    st = ft.init_state()
+    p = tmp_path / "st.npz"
+    save_state(p, st)
+    st2 = load_state(p)
+    for a, b in zip(jax.tree_util.tree_leaves(st),
+                    jax.tree_util.tree_leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batched_tracker_resume_continues_tracking(tmp_path):
+    bt = ht.BatchedTracker(3, frame_shape=(H, W), cascade=ht.toy_cascade(),
+                           sync_interval=1)
+    frames = np.stack([_fr(60, 50), _fr(70, 60), _fr(80, 70)])
+    for _ in range(17):
+        bt.step(frames)
+    assert (bt.modes == ft.MODE_CS).all()
+    p = tmp_path / "ckpt.npz"
+    save_tracker(p, bt)
+
+    # fresh tracker, restore, keep tracking without re-detection
+    bt2 = ht.BatchedTracker(3, frame_shape=(H, W), cascade=ht.toy_cascade(),
+                            sync_interval=1)
+    load_tracker(p, bt2)
+    assert (bt2.modes == ft.MODE_CS).all()
+    out = bt2.step(frames, sync=True)
+    assert (bt2.modes == ft.MODE_CS).all()
+    xs = np.asarray(out.face_x)
+    assert np.all(xs > 0) and len(set(xs.tolist())) == 3
