@@ -58,6 +58,7 @@ def main():
     ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--ticks", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--sync-interval", type=int, default=16)
     ap.add_argument("--detect-bench", action="store_true",
                     help="also print detect-only throughput (stderr)")
     args = ap.parse_args()
@@ -72,7 +73,8 @@ def main():
     rng = np.random.default_rng(0)
     frames_np, pos = synth_frames(args.streams, H, W, rng)
 
-    bt = ht.BatchedTracker(args.streams, frame_shape=(H, W), ui=False)
+    bt = ht.BatchedTracker(args.streams, frame_shape=(H, W), ui=False,
+                           sync_interval=args.sync_interval)
     frames = jnp.asarray(frames_np)
 
     print("# warming up (compiling 3 step programs)...", file=sys.stderr)
@@ -100,8 +102,8 @@ def main():
     t0 = time.time()
     for i in range(args.ticks):
         out = bt.step(frames if i % 2 == 0 else frames2)
-    jax.block_until_ready(bt.state)
-    dt = time.time() - t0
+    _ = np.asarray(out.mode_after)  # true sync: block_until_ready does not
+    dt = time.time() - t0           # actually block on the axon backend
     fps = args.streams * args.ticks / dt
     still_locked = (bt.modes == ft.MODE_CS).mean()
     print(f"# steady state: {args.ticks} ticks x {args.streams} streams in "
