@@ -660,9 +660,17 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
         tconf = jnp.concatenate(t_conf)           # (T_all, 160) f32
         k_tiles = int(np.clip(-(-k1 // TILE_WINDOWS), 8, 512))
         k_tiles = min(k_tiles, tables.n_tiles)
-        tidx, _nt = compact_indices(talive.any(axis=1), k_tiles)
-        tvalid = tidx < tables.n_tiles
-        tsafe = jnp.minimum(tidx, tables.n_tiles - 1)
+        # Rank tiles by surviving-window count (a real face densely activates
+        # its tiles; stage-0/1 noise survivors are sparse) with ascending-index
+        # tie-break; selecting by index alone drops face tiles at later scales
+        # once noise tiles exhaust the capacity.
+        tcount = talive.sum(axis=1).astype(jnp.int32)          # (T_all,) <= 160
+        T_all = tables.n_tiles
+        tie = jax.lax.broadcasted_iota(jnp.int32, (T_all, 1), 0).reshape(-1)
+        tile_rank = tcount * (T_all + 1) + (T_all - tie)
+        _, tidx = jax.lax.top_k(tile_rank, k_tiles)
+        tvalid = tcount[tidx] > 0
+        tsafe = tidx
 
         tscale = jnp.asarray(tables.tile_scale)[tsafe]
         ty = jnp.asarray(tables.tile_ty)[tsafe]
