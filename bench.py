@@ -83,9 +83,10 @@ def main():
     print(f"# compile: {time.time() - t_c0:.0f}s", file=sys.stderr)
 
     # Lock phase: WB stabilization (15 ticks) + VJ detect + CS handoff.
+    # Per-tick sync: locking is latency-critical, throughput irrelevant here.
     t_lock0 = time.time()
     for _ in range(16):
-        bt.step(frames)
+        bt.step(frames, sync=True)
     locked = (bt.modes == ft.MODE_CS).mean()
     t_lock = time.time() - t_lock0
     print(f"# lock phase: {16 * args.streams} frames in {t_lock:.1f}s, "
@@ -111,26 +112,23 @@ def main():
           file=sys.stderr)
 
     if args.detect_bench:
-        # detect-every-frame throughput (full step, all streams in VJ)
-        bt2 = ht.BatchedTracker(args.streams, frame_shape=(H, W), ui=False,
-                                whitebalancing=False)
-        for _ in range(2):
-            bt2.step(frames)  # compile + lock
-        # force back to VJ
-        for i in range(args.streams):
-            bt2.reset_stream(i)
-        jax.block_until_ready(bt2.state)
+        # detect-every-frame throughput (the pure VJ path, batch 32)
+        from headtrackr_tpu.models import detector as jd
+        from headtrackr_tpu.ops import imageproc as ji
+        nb = 32
+        det = jax.jit(jax.vmap(lambda f: jd.detect_best(
+            ji.grayscale(f), bt.cascade, 5, 1, 64, 1024, 128)))
+        fsub = frames[:nb]
+        out_d = det(fsub)
+        _ = [np.asarray(o) for o in out_d]
         td0 = time.time()
-        nd = max(3, args.ticks // 10)
+        nd = 10
         for _ in range(nd):
-            bt2.step(frames)
-            for i in range(args.streams):
-                bt2._modes[i] = ft.MODE_VJ  # keep measuring detector path
-                bt2.state = bt2.state._replace(
-                    mode=jnp.full((args.streams,), ft.MODE_VJ, jnp.int32))
-        jax.block_until_ready(bt2.state)
-        dfps = args.streams * nd / (time.time() - td0)
-        print(f"# detect-only: {dfps:.0f} frames/sec/chip", file=sys.stderr)
+            out_d = det(fsub)
+        _ = [np.asarray(o) for o in out_d]
+        dfps = nb * nd / (time.time() - td0)
+        print(f"# detect-only: {dfps:.0f} frames/sec/chip "
+              f"(batch {nb}, full cascade every frame)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "320x240 detect+track frames/sec/chip (256-stream serving, "

@@ -386,33 +386,28 @@ def _extract_tile_blocks(stacks, tscale, ty, tx):
 
 
 def _tile_patches(b0, b1, bi):
-    """Tile blocks -> (T, TILE_WINDOWS, 768) bf16 patch tensor via 756 STATIC
-    strided slices (window (dy,dx) reads block0[2dy+py, 2dx+px],
-    block1[dy+py, dx+px], blockI[dy+2py, dx+2px])."""
-    maps = []
-    for py in range(24):
-        for px in range(24):
-            maps.append(jax.lax.slice(
-                b0, (0, py, px),
-                (b0.shape[0], py + 2 * TILE_Y - 1, px + 2 * TILE_X - 1),
-                (1, 2, 2)))
-    for py in range(12):
-        for px in range(12):
-            maps.append(jax.lax.slice(
-                b1, (0, py, px),
-                (b1.shape[0], py + TILE_Y, px + TILE_X)))
-    for py in range(6):
-        for px in range(6):
-            maps.append(jax.lax.slice(
-                bi, (0, 2 * py, 2 * px),
-                (bi.shape[0], 2 * py + TILE_Y, 2 * px + TILE_X)))
+    """Tile blocks -> TRANSPOSED (768, T*160) bf16 patch matrix.
+
+    Window (dy,dx) in a tile reads block0[2dy+py, 2dx+px], block1[dy+py,
+    dx+px], blockI[dy+2py, dx+2px] — i.e. im2col.  Implemented with
+    conv_general_dilated_patches (native, MXU-friendly); an equivalent stack
+    of 756 static slices OOMs at serving batch (XLA pads each concat operand
+    ~128x under vmap)."""
     T = b0.shape[0]
-    # stack along the MAJOR axis (contiguous writes; a minor-dim stack costs a
-    # full relayout, ~1 ms/frame) -> transposed patch matrix (768, T*160)
-    stackd = jnp.stack(maps, axis=0)             # (756, T, TILE_Y, TILE_X)
-    patches_t = stackd.reshape(756, T * TILE_WINDOWS)
-    patches_t = jnp.pad(patches_t, ((0, PATCH_LEN - 756), (0, 0)))
-    return patches_t.astype(jnp.bfloat16)
+
+    def patches(block, fhw, strides, dil):
+        x = block[:, None].astype(jnp.bfloat16)          # (T, 1, H, W)
+        p = jax.lax.conv_general_dilated_patches(
+            x, filter_shape=fhw, window_strides=strides,
+            padding="VALID", rhs_dilation=dil)           # (T, prod(fhw), oh, ow)
+        return p[:, :, :TILE_Y, :TILE_X]
+
+    p0 = patches(b0, (24, 24), (2, 2), (1, 1))           # (T, 576, 8, 20)
+    p1 = patches(b1, (12, 12), (1, 1), (1, 1))           # (T, 144, 8, 20)
+    pq = patches(bi, (6, 6), (1, 1), (2, 2))             # (T, 36, 8, 20)
+    cat = jnp.concatenate([p0, p1, pq], axis=1)          # (T, 756, 8, 20)
+    patches_t = cat.transpose(1, 0, 2, 3).reshape(756, T * TILE_WINDOWS)
+    return jnp.pad(patches_t, ((0, PATCH_LEN - 756), (0, 0)))
 
 
 def _patch_chunk(patches_t, cascade_key, k_lo, k_hi, stages, valid, conf_in,

@@ -89,10 +89,11 @@ class BatchedTracker:
         directly trades tail latency for throughput."""
         merged = dict(params or {})
         merged.update(kw)
-        # batched detection: keep per-stream survivor buckets small so the
-        # (streams x survivors) gather intermediates stay modest on device
+        # batched detection: bound per-stream candidate buffers (the detect
+        # path cost scales with these x streams); survivorsStage2/160 = tile
+        # capacity — keep >= ~25 tiles or crowded scenes can evict face tiles
         if n_streams >= 32:
-            merged.setdefault("survivorsStage2", 1024)
+            merged.setdefault("survivorsStage2", 4096)
             merged.setdefault("survivorsDeep", 128)
             merged.setdefault("maxCandidates", 64)
         self.config = TrackerConfig(**merged)
