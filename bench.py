@@ -56,7 +56,7 @@ def shift_frames(frames, pos, dx, H, W):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=256)
-    ap.add_argument("--ticks", type=int, default=50)
+    ap.add_argument("--ticks", type=int, default=400)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--sync-interval", type=int, default=16)
     ap.add_argument("--detect-bench", action="store_true",

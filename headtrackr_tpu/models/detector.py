@@ -15,9 +15,11 @@ The design is TPU-first, not a translation of the JS scan:
   phases evaluate simultaneously.
 
 * The JS per-window early exit becomes *stage-chunked compaction*: cheap stages
-  run densely for all windows; survivors are compacted on-device (ascending
-  order, preserving the JS seq order) and deeper stages run as flat gathers over
-  the concatenated plane buffer for the survivors only.
+  run densely for all windows; surviving 8x20-window TILES are compacted
+  on-device (top-k by survivor count; XLA:TPU serializes gathers/scatters, so
+  compaction is top_k and tile blocks are ~100 large aligned dynamic slices),
+  and deep stages evaluate tile im2col patch matrices against static one-hot
+  selection matrices — MXU matmuls, not gathers.
 
 * Grouping (union-find at src/ccv.js:34-107) becomes connected components via
   log-step transitive closure on a KxK adjacency matrix — a few small MXU
@@ -88,19 +90,10 @@ class DetectorTables:
     win_scale: np.ndarray        # (M,) i32 index into geoms
     win_y2: np.ndarray           # (M,) i32 window-grid row
     win_x2: np.ndarray           # (M,) i32 window-grid col
-    win_b0: np.ndarray           # (M,) i32 window base offset in plane0
-    win_b1: np.ndarray           # (M,) i32
-    win_bI: np.ndarray           # (M,) i32
     out_x: np.ndarray            # (M,) f32 detection-space box corner
     out_y: np.ndarray            # (M,) f32
     out_w: np.ndarray            # (M,) f32
     out_h: np.ndarray            # (M,) f32
-    # Per-(scale, weak, slot) flat address offsets (window-independent part):
-    # addr[s, k, f] = A[s, k, f] + win_b{z}[window]; invalid slots -> 0 with mask.
-    A_pos: np.ndarray            # (n_scales, K, 5) i32
-    A_neg: np.ndarray            # (n_scales, K, 5) i32
-    Z_pos: np.ndarray            # (K, 5) i8 in {-1, 0, 1, 2}
-    Z_neg: np.ndarray            # (K, 5) i8
     # Tile-compaction metadata:
     n_tiles: int                 # total tiles across scales
     tile_scale: np.ndarray       # (T,) i32
@@ -129,8 +122,7 @@ def _tables_cached(w0, h0, interval, cascade_key):
 
     geoms = []
     flat = 0
-    meta = {k: [] for k in ("scale", "y2", "x2", "b0", "b1", "bI",
-                            "ox", "oy", "ow", "oh")}
+    meta = {k: [] for k in ("scale", "y2", "x2", "ox", "oy", "ow", "oh")}
     scale_x = 1.0
     scale_y = 1.0
     for i in range(spec.scale_upto):
@@ -153,9 +145,6 @@ def _tables_cached(w0, h0, interval, cascade_key):
             meta["scale"].append(np.full(y2.size, s_idx, np.int32))
             meta["y2"].append(y2.astype(np.int32))
             meta["x2"].append(x2.astype(np.int32))
-            meta["b0"].append((g.start0 + 2 * y2 * W0 + 2 * x2).astype(np.int32))
-            meta["b1"].append((g.start1 + y2 * W1 + x2).astype(np.int32))
-            meta["bI"].append((g.startI + y2 * g.wI + x2).astype(np.int32))
             meta["ox"].append((2 * x2 * scale_x).astype(np.float32))
             meta["oy"].append((2 * y2 * scale_y).astype(np.float32))
             meta["ow"].append(np.full(y2.size, 24 * scale_x, np.float32))
@@ -166,20 +155,6 @@ def _tables_cached(w0, h0, interval, cascade_key):
     cat = {k: (np.concatenate(v) if v else np.zeros((0,), np.int32))
            for k, v in meta.items()}
     M = cat["scale"].size
-
-    # Window-independent flat address offsets per (scale, weak, slot).
-    n_scales = len(geoms)
-    A_pos = np.zeros((n_scales, K, 5), np.int32)
-    A_neg = np.zeros((n_scales, K, 5), np.int32)
-    for s, g in enumerate(geoms):
-        for side, (xx, yy, zz, A) in (("p", (c["px"], c["py"], c["pz"], A_pos)),
-                                      ("n", (c["nx"], c["ny"], c["nz"], A_neg))):
-            z0 = zz == 0
-            z1 = zz == 1
-            z2 = zz == 2
-            A[s][z0] = (yy[z0] * g.w0 + xx[z0]).astype(np.int32)
-            A[s][z1] = (yy[z1] * g.w1 + xx[z1]).astype(np.int32)
-            A[s][z2] = (2 * yy[z2] * g.wI + 2 * xx[z2]).astype(np.int32)
 
     # Tile grid metadata.
     t_scale, t_ty, t_tx = [], [], []
@@ -197,11 +172,8 @@ def _tables_cached(w0, h0, interval, cascade_key):
     return DetectorTables(
         spec=spec, geoms=tuple(geoms), M=M, flat_len=flat,
         win_scale=cat["scale"], win_y2=cat["y2"], win_x2=cat["x2"],
-        win_b0=cat["b0"], win_b1=cat["b1"],
-        win_bI=cat["bI"], out_x=cat["ox"], out_y=cat["oy"],
+        out_x=cat["ox"], out_y=cat["oy"],
         out_w=cat["ow"], out_h=cat["oh"],
-        A_pos=A_pos, A_neg=A_neg,
-        Z_pos=c["pz"][:, :].astype(np.int8), Z_neg=c["nz"][:, :].astype(np.int8),
         n_tiles=int(t_scale.size), tile_scale=t_scale, tile_ty=t_ty,
         tile_tx=t_tx,
         geom_qh2=np.asarray([g.qh2 for g in geoms], np.int32),
@@ -468,59 +440,6 @@ def compact_indices(mask, size):
         out = jnp.concatenate([out, jnp.full((size - k,), M, jnp.int32)])
     n = jnp.minimum(m.sum().astype(jnp.int32), size)
     return out, n
-
-
-def _gather_chunk(flatbuf, tables, cascade_np, idx, valid, k_lo, k_hi, stages,
-                  conf_in):
-    """Evaluate weak [k_lo, k_hi) for the survivor windows ``idx`` via gathers.
-
-    All device intermediates are 2-D (survivors, Kc): a trailing slot dim of 5
-    would pad to a 128-lane tile on TPU (32 GB blowups at serving batch sizes),
-    so the <=5 feature-pixel slots are a Python loop accumulating min/max.
-    """
-    c = cascade_np
-    Kc = k_hi - k_lo
-    safe = jnp.minimum(idx, tables.M - 1)
-    scale = jnp.asarray(tables.win_scale)[safe]
-    bz = (jnp.asarray(tables.win_b0)[safe],
-          jnp.asarray(tables.win_b1)[safe],
-          jnp.asarray(tables.win_bI)[safe])
-
-    def side(A_all, Z, reduce_min):
-        acc = None
-        for f in range(A_all.shape[2]):
-            zf = Z[k_lo:k_hi, f]                       # (Kc,) static
-            vmask = zf >= 0
-            if not vmask.any():
-                continue
-            z = np.maximum(zf, 0).astype(np.int32)
-            A = jnp.asarray(A_all[:, k_lo:k_hi, f])[scale]   # (S_, Kc) i32
-            # per-weak plane base: select among the 3 base vectors by static z
-            base = jnp.where(jnp.asarray(z == 0)[None, :], bz[0][:, None],
-                             jnp.where(jnp.asarray(z == 1)[None, :],
-                                       bz[1][:, None], bz[2][:, None]))
-            vals = flatbuf[(A + base).reshape(-1)].reshape(idx.shape[0], Kc)
-            fill = jnp.uint8(255) if reduce_min else jnp.uint8(0)
-            vals = jnp.where(jnp.asarray(vmask)[None, :], vals, fill)
-            if acc is None:
-                acc = vals
-            else:
-                acc = jnp.minimum(acc, vals) if reduce_min else jnp.maximum(acc, vals)
-        return acc
-
-    pmin = side(tables.A_pos, np.asarray(tables.Z_pos), True)
-    nmax = side(tables.A_neg, np.asarray(tables.Z_neg), False)
-    passed = pmin > nmax                                         # (S_, Kc)
-    alpha = np.asarray(cascade_np["alpha"][k_lo:k_hi])           # (Kc, 2)
-    votes = jnp.where(passed, alpha[None, :, 1], alpha[None, :, 0])
-
-    alive = valid
-    conf = conf_in
-    for (k0, k1, thr) in stages:
-        ssum = votes[:, k0 - k_lo:k1 - k_lo].sum(axis=1)
-        alive = alive & (ssum >= np.float32(thr))
-        conf = jnp.where(valid, ssum, conf)
-    return alive, conf
 
 
 # --------------------------------------------------------------------------
