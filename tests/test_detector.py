@@ -123,3 +123,33 @@ def test_vmap_detect():
     f = jax.jit(jax.vmap(lambda a: jd.detect_best(a, toy)))
     found, x, y, w, h, conf = f(jnp.stack([jnp.asarray(img1), jnp.asarray(img2)]))
     assert np.asarray(found).tolist() == [True, False]
+
+
+@pytest.mark.parametrize("shape", [(76, 100), (57, 99), (120, 160)])
+def test_odd_geometry_parity(rng, shape):
+    """Detector parity at non-round frame sizes (the 640x480 bug class):
+    with controlled per-stage selectivity, the survivor SET must equal the
+    oracle's exactly when capacity suffices."""
+    base = frontalface()
+    cum = np.concatenate([[0], np.cumsum(base.stage_counts)])
+    a0 = np.array([base.alpha[cum[s]:cum[s + 1], 0].sum() for s in range(16)])
+    a1 = np.array([base.alpha[cum[s]:cum[s + 1], 1].sum() for s in range(16)])
+    thr = (a0 + 0.02 * (a1 - a0) - 1e-3).astype(np.float32)
+    casc = dataclasses.replace(base, stage_thresh=thr)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    seq_o = od.dense_scores(img, casc)
+    # k1 large enough that every tile survives compaction (uniform noise
+    # spreads stage-0/1 survivors over all tiles; the capacity cap is a
+    # separate, documented behavior)
+    cand = jax.jit(lambda x: jd.detect_candidates(
+        x, casc, 5, k1=80000, k2=1024, k_cand=1024))(jnp.asarray(img))
+    cand = jax.tree_util.tree_map(np.asarray, cand)
+    v = cand["valid"]
+    bj = sorted((round(float(cand["x"][i]), 2), round(float(cand["y"][i]), 2),
+                 round(float(cand["width"][i]), 2)) for i in np.nonzero(v)[0])
+    bo = sorted((round(s["x"], 2), round(s["y"], 2), round(s["width"], 2))
+                for s in seq_o)
+    assert len(bo) <= 1024, "test setup: capacity must fit the oracle set"
+    assert len(bj) == len(bo)
+    for a, b in zip(bj, bo):
+        assert all(abs(x - y) < 0.05 for x, y in zip(a, b))
