@@ -59,7 +59,12 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
             cur = buf[safe]
             vshape = (valid.shape[0],) + (1,) * (buf.ndim - 1)
             merged = jnp.where(valid.reshape(vshape), sub, cur)
-            return buf.at[safe].set(merged)
+            # Scatter with the UNCLAMPED idx so padding slots (idx == N) are
+            # dropped instead of aliasing stream N-1: a clamped scatter makes
+            # duplicate index N-1 with conflicting values, and JAX applies
+            # duplicate scatter-set updates in unspecified order — stream N-1's
+            # detection update could be silently discarded every tick.
+            return buf.at[idx].set(merged, mode="drop")
 
         state2 = jax.tree_util.tree_map(scatter, state1, sub_state2)
         out2 = jax.tree_util.tree_map(scatter, out, sub_out)

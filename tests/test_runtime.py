@@ -90,6 +90,26 @@ def test_batched_tracker_mixed_then_fast_path():
     assert bt.modes[2] == 0 and bt.modes[0] == 2
 
 
+def test_bucket_step_updates_last_stream_with_padding():
+    """Regression: the detection-bucket scatter must not clamp padding slots
+    (idx == N) onto stream N-1 — a clamped scatter creates duplicate index
+    N-1 with conflicting values and JAX applies them in unspecified order,
+    which can discard the last stream's WB/VJ update every tick."""
+    bt = ht.BatchedTracker(4, frame_shape=(H, W), cascade=ht.toy_cascade(),
+                           sync_interval=1)
+    frames = np.stack([_fr(60, 50), _fr(70, 60), _fr(80, 70), _fr(90, 80)])
+    for _ in range(17):
+        bt.step(frames, sync=True)
+    assert bt.modes.tolist() == [2, 2, 2, 2]
+    bt.reset_stream(3)  # only the LAST stream redetects; bucket is padded
+    for _ in range(18):
+        bt.step(frames, sync=True)
+        if bt.modes[3] == 2:
+            break
+    assert bt.modes.tolist() == [2, 2, 2, 2], (
+        "last stream stalled in detection — bucket scatter dropped its update")
+
+
 def test_clip_source_and_normalize():
     assert normalize_size(640, 480) == (320, 240)
     assert normalize_size(480, 640) == (180, 240)
