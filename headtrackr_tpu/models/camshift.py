@@ -5,8 +5,10 @@ Behavior spec: src/camshift.js (see oracle/camshift.py).  Design notes:
 * All state is an explicit pytree (CamshiftState) so N streams batch with vmap.
 * The <=10 mean-shift iterations with early fixed-point stop become a fixed-trip
   fori_loop with a ``done`` freeze mask — identical results, static control flow.
-* Moments over the (dynamic) search window are masked reductions over the full
-  pdf — rectangular masks instead of dynamic slicing, so shapes stay static.
+* First moments over the (dynamic) search window come from 1-D marginal
+  prefix sums (window-relative — error scales with the window's own mass, see
+  docs/PARITY.md); second moments are one masked full-frame reduction.
+  Rectangular masks instead of dynamic slicing, so shapes stay static.
 * The JS NaN-mediated loss semantics (zero backprojection mass => 0-size box,
   src/camshift.js:109,240-241) are reproduced as explicit zero-mass logic.
 * JS ``(v) >> 0`` int coercion (truncate toward zero, NaN -> 0) is _js_shift.
@@ -66,55 +68,68 @@ def _js_shift(v):
     return jnp.where(jnp.isfinite(v), jnp.trunc(v), 0.0).astype(jnp.int32)
 
 
-def _cumsum2d(p):
-    """Inclusive 2-D prefix sum via triangular matmuls (MXU) — far faster than
-    XLA's log-pass cumsum lowering on TPU.  f32-exact for integer-valued pdfs."""
-    H, W = p.shape
+def _marginal_planes(pdf):
+    """1-D prefix sums feeding the per-iteration window marginals:
+
+      col_cum (H+1, W): col_cum[y, x] = sum_{y' < y} pdf[y', x]
+      row_cum (H, W+1): row_cum[y, x] = sum_{x' < x} pdf[y, x']
+
+    Precision rationale (docs/PARITY.md): the previous design kept full 2-D
+    integrals of x*pdf / y*pdf in ABSOLUTE coordinates, whose corner values
+    reach ~1e7 f32 at 320x240 (~2e8 at 640x480), so corner differencing lost
+    units of m10/m01 regardless of the window's own mass.  Marginal prefix
+    sums are bounded by a single column/row mass (<= H or W), and the moment
+    reductions below are window-relative, so the error scales with the
+    window's own sums like the f64 oracle's.  Also 3x fewer matmul FLOPs
+    than three 2-D integrals."""
+    H, W = pdf.shape
     tri_r = jnp.asarray(np.tril(np.ones((H, H), np.float32)))
     tri_c = jnp.asarray(np.triu(np.ones((W, W), np.float32)))
-    rows = jnp.dot(tri_r, p, preferred_element_type=jnp.float32)
-    return jnp.dot(rows, tri_c, preferred_element_type=jnp.float32)
+    col_cum = jnp.pad(jnp.dot(tri_r, pdf,
+                              preferred_element_type=jnp.float32),
+                      ((1, 0), (0, 0)))
+    row_cum = jnp.pad(jnp.dot(pdf, tri_c,
+                              preferred_element_type=jnp.float32),
+                      ((0, 0), (1, 0)))
+    return col_cum, row_cum
 
 
-def _integral_planes(pdf):
-    """Inclusive 2-D prefix sums (zero row/col prepended) of pdf, x*pdf, y*pdf
-    with x/y ABSOLUTE coordinates — the first-moment planes the mean-shift loop
-    reads as 4 corner lookups per iteration.  Second moments are computed once
-    on the final window (see mean_shift).  Planes stay SEPARATE arrays: a
-    stacked (k, H, W) gets its small axis laid out on lanes by XLA (~21x HBM
-    padding blowup)."""
-    H, W = pdf.shape
-    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-
-    def ii(p):
-        return jnp.pad(_cumsum2d(p), ((1, 0), (1, 0)))        # (H+1, W+1)
-
-    return tuple(ii(p) for p in (pdf, x * pdf, y * pdf))
+def _select_lines(plane, i0, i1, axis):
+    """Rows (axis=0) or columns (axis=1) i0/i1 of ``plane`` via a one-hot
+    matmul (exact: one nonzero per row) — no gather, vmap-friendly."""
+    n = plane.shape[axis]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (2, n), 1)
+    sel = (iota == jnp.stack([i0, i1])[:, None]).astype(jnp.float32)
+    if axis == 0:
+        two = jnp.dot(sel, plane, preferred_element_type=jnp.float32)
+        return two[0], two[1]
+    two = jnp.dot(plane, sel.T, preferred_element_type=jnp.float32)
+    return two[:, 0], two[:, 1]
 
 
-def _box_sums(ii, x0, y0, x1, y1):
-    """Tuple of window sums over [x0, x1) x [y0, y1) from the integral planes."""
-    return tuple(p[y1, x1] - p[y0, x1] - p[y1, x0] + p[y0, x0] for p in ii)
-
-
-def _first_moments_ii(ii, wadx, wady, wadw, wadh):
+def _first_moments_marginal(planes, wadx, wady, wadw, wadh):
     """m00/m10/m01 with vx/vy relative to the window origin
-    (src/camshift.js:79-107: w/h args are exclusive upper bounds).
-
-    Absolute-coordinate sums shift to window-relative via the binomial
-    expansion; exact for integer-valued pdfs, ~f32-roundoff otherwise."""
-    Hp, Wp = ii[0].shape
+    (src/camshift.js:79-107: w/h args are exclusive upper bounds)."""
+    col_cum, row_cum = planes
+    H = row_cum.shape[0]
+    W = col_cum.shape[1]
     empty = (wadw <= wadx) | (wadh <= wady)
-    x0 = jnp.minimum(wadx, Wp - 1)
-    y0 = jnp.minimum(wady, Hp - 1)
-    x1 = jnp.clip(wadw, x0, Wp - 1)
-    y1 = jnp.clip(wadh, y0, Hp - 1)
-    s, sx, sy = (jnp.where(empty, 0.0, v)
-                 for v in _box_sums(ii, x0, y0, x1, y1))
-    ox = wadx.astype(jnp.float32)
-    oy = wady.astype(jnp.float32)
-    return s, sx - ox * s, sy - oy * s
+    top, bot = _select_lines(col_cum, jnp.clip(wady, 0, H),
+                             jnp.clip(wadh, 0, H), axis=0)
+    lef, rig = _select_lines(row_cum, jnp.clip(wadx, 0, W),
+                             jnp.clip(wadw, 0, W), axis=1)
+    colmass = bot - top                     # (W,) mass of rows [wady, wadh)
+    rowmass = rig - lef                     # (H,)
+    xs = jax.lax.iota(jnp.int32, W)
+    ys = jax.lax.iota(jnp.int32, H)
+    in_x = ((xs >= wadx) & (xs < wadw)).astype(jnp.float32)
+    in_y = ((ys >= wady) & (ys < wadh)).astype(jnp.float32)
+    m00 = jnp.sum(colmass * in_x)
+    m10 = jnp.sum((xs - wadx).astype(jnp.float32) * colmass * in_x)
+    m01 = jnp.sum((ys - wady).astype(jnp.float32) * rowmass * in_y)
+    z = jnp.float32(0.0)
+    return (jnp.where(empty, z, m00), jnp.where(empty, z, m10),
+            jnp.where(empty, z, m01))
 
 
 def _second_moments(pdf, wadx, wady, wadw, wadh):
@@ -139,7 +154,7 @@ def mean_shift(pdf, window):
 
     Returns (window', moments dict at the stopping iteration, zero_mass flag)."""
     H, W = pdf.shape
-    ii = _integral_planes(pdf)
+    planes = _marginal_planes(pdf)
 
     def body(i, carry):
         win, prevx, prevy, done, m, wad = carry
@@ -147,7 +162,7 @@ def mean_shift(pdf, window):
         wady = jnp.maximum(win[1], 0)
         wadw = jnp.minimum(wadx + win[2], W)
         wadh = jnp.minimum(wady + win[3], H)
-        m00, m10, m01 = _first_moments_ii(ii, wadx, wady, wadw, wadh)
+        m00, m10, m01 = _first_moments_marginal(planes, wadx, wady, wadw, wadh)
         nonzero = m00 > 0
         xc = jnp.where(nonzero, m10 / jnp.maximum(m00, 1e-30), jnp.nan)
         yc = jnp.where(nonzero, m01 / jnp.maximum(m00, 1e-30), jnp.nan)

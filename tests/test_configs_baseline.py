@@ -46,6 +46,34 @@ def test_config2_camshift_100_frame_clip(rng):
     assert mismatches == 0
 
 
+def test_camshift_640x480_moment_precision(rng):
+    """Golden camshift parity at 640x480 (ADVICE r1): first-moment planes in
+    absolute coordinates reached ~2e8 in f32 at this size and flipped window
+    shifts by +-1 px vs the f64 oracle; the window-relative marginal
+    formulation must track the oracle exactly."""
+    H, W = 480, 640
+
+    def frame(t):
+        f = rng.integers(0, 60, (H, W, 3), dtype=np.uint8)
+        cx = 150 + 3 * t
+        cy = 200 + int(40 * np.sin(t / 7))
+        f[max(0, cy - 40):cy + 40, max(0, cx - 30):cx + 30] = (205, 95, 65)
+        return f
+
+    frames = [frame(t) for t in range(40)]
+    rect = (118, 158, 62, 82)
+    o = CamshiftTracker(calc_angles=True)
+    o.init_tracker(frames[0], rect)
+    st = mc.init_tracker(jnp.asarray(frames[0]), jnp.asarray(rect, jnp.int32))
+    step = jax.jit(lambda s, f: mc.track(s, f, True))
+    for t, f in enumerate(frames[1:], 1):
+        ro = o.track(f)
+        st, _ = step(st, jnp.asarray(f))
+        assert (int(st.track_x), int(st.track_y),
+                int(st.track_w), int(st.track_h)) == (
+            ro["x"], ro["y"], ro["width"], ro["height"]), f"frame {t}"
+
+
 def test_config4_640x480_detection_and_head_events():
     """640x480 frames: multi-scale detection locks on the synthetic face,
     whitebalance gating runs, headtrackingEvents flow (BASELINE config 4)."""
