@@ -1,44 +1,80 @@
 """Host-side convenience API mirroring the reference's top-level helpers.
 
   - getWhitebalance(image)   (src/whitebalance.js:5-29)
-  - Smoother(alpha, interval) (src/smoother.js:13-89; observable behavior = EMA,
-    see oracle/smoother.py; mode="desp" gives the intended double-exponential
-    smoothing behind a flag)
+  - Smoother(alpha, interval) (src/smoother.js:13-89; observable behavior = EMA
+    because of the reference's sp2-aliasing and msDiff bugs — see
+    oracle/smoother.py for the analysis; mode="desp" gives the intended
+    double-exponential smoothing behind a flag)
+
+Both run the jitted device ops; the NumPy transcriptions in oracle/ are test
+references only.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .ops.imageproc import whitebalance as _wb
-from .oracle.smoother import Smoother as _OracleSmoother
 
 __all__ = ["getWhitebalance", "Smoother"]
 
 
 def getWhitebalance(image):
     """Mean gray value of an RGB (H, W, 3) u8 frame."""
-    return float(_wb(jnp.asarray(image)))
+    return float(jax.jit(_wb)(jnp.asarray(image)))
+
+
+@functools.lru_cache(maxsize=None)
+def _smooth_fn(mode):
+    def f(sp, sp2, cur, alpha):
+        a = alpha
+        nsp = a * cur + (1 - a) * sp
+        if mode == "desp":
+            nsp2 = a * nsp + (1 - a) * sp2
+            out = 2 * nsp - nsp2
+        else:  # parity: the reference's aliasing bug makes sp2 === sp
+            nsp2 = nsp
+            out = nsp
+        return nsp, nsp2, out
+    return jax.jit(f)
 
 
 class Smoother:
     """Positional smoother over {x, y, z, width, height} dicts.
 
-    Parity target is EMA (the reference's latent aliasing bug); pass
-    mode="desp" for correct LaViola double-exponential smoothing.
+    Parity target is EMA (the reference's latent aliasing bug,
+    src/smoother.js:27-28,44-46); pass mode="desp" for correct LaViola
+    double-exponential smoothing.  State lives on device; one jitted call
+    per smooth().
     """
 
     def __init__(self, alpha=0.35, interval=35, mode="ema"):
-        self._s = _OracleSmoother(alpha, interval, mode)
-
-    @property
-    def initialized(self):
-        return self._s.initialized
+        self.alpha = float(alpha)
+        self.interval = float(interval)
+        self.mode = mode
+        self.initialized = False
+        self._sp = None
+        self._sp2 = None
 
     def init(self, pos):
-        self._s.init(_as_dict(pos))
+        """pos: dict/obj with x, y, width, height (z optional, default 0)."""
+        v = _as_vec(pos)
+        self._sp = jnp.asarray(v, jnp.float32)
+        self._sp2 = jnp.asarray(v, jnp.float32)
+        self.initialized = True
 
     def smooth(self, pos):
-        return self._s.smooth(_as_dict(pos))
+        if not self.initialized:
+            return False
+        cur = jnp.asarray(_as_vec(pos), jnp.float32)
+        self._sp, self._sp2, out = _smooth_fn(self.mode)(
+            self._sp, self._sp2, cur, jnp.float32(self.alpha))
+        x, y, z, w, h = np.asarray(out).tolist()
+        pos = dict(_as_dict(pos))
+        pos.update(x=x, y=y, z=z, width=w, height=h)
+        return pos
 
 
 def _as_dict(pos):
@@ -46,3 +82,8 @@ def _as_dict(pos):
         return pos
     return dict(x=pos.x, y=pos.y, z=getattr(pos, "z", 0.0),
                 width=pos.width, height=pos.height)
+
+
+def _as_vec(pos):
+    d = _as_dict(pos)
+    return [d["x"], d["y"], d.get("z", 0.0) or 0.0, d["width"], d["height"]]
