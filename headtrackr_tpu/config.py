@@ -19,6 +19,8 @@ class TrackerConfig:
     ui: bool = True
     smoothing: bool = True
     debug: bool = False
+    altVideo: Optional[object] = None  # fallback source when camera fails
+                                       # (src/main.js:10-15,132-141)
     detectionInterval: int = 20        # ms between frame steps
     retryDetection: bool = True
     fov: Optional[float] = None        # horizontal FOV degrees; None = estimate

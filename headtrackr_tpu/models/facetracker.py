@@ -113,7 +113,8 @@ def _empty_result():
     return _Result(f32(0), f32(0), f32(0), f32(0), f32(0), f32(-10000.0), f32(0))
 
 
-def make_step(cascade, config: TrackerConfig, frame_shape, variant="full"):
+def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
+              with_pdf=False):
     """Build the per-frame step fn for a static (cascade, config, H, W).
 
     step(state, frame_rgb_u8) -> (state', StepOutput).  jit/vmap-able.
@@ -123,9 +124,16 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full"):
         the batch is in CS mode (the serving runtime guarantees this; under
         vmap the full variant pays for the detector in every branch, so
         steady-state serving uses this one).
+    with_pdf=True: step also returns the camshift backprojection image
+        ((H, W) f32; zeros on non-CS frames) as a third output — the debug
+        surface (src/facetrackr.js:194-196).  Costs one extra (H, W) buffer;
+        used by Tracker(debug=True), not by serving.
     """
     H, W = frame_shape
     f32 = jnp.float32
+
+    def no_pdf():
+        return jnp.zeros((H, W), f32)
 
     def wb_branch(state, frame):
         wb = whitebalance(frame).astype(f32)
@@ -159,27 +167,42 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full"):
         return state._replace(mode=new_mode, cs=cs_state), res
 
     def cs_branch(state, frame):
-        new_cs, _pdf = cs.track(state.cs, frame, config.calcAngles)
+        new_cs, pdf = cs.track(state.cs, frame, config.calcAngles)
         res = _Result(x=new_cs.track_x.astype(f32), y=new_cs.track_y.astype(f32),
                       w=new_cs.track_w.astype(f32), h=new_cs.track_h.astype(f32),
                       angle=new_cs.track_angle.astype(f32), conf=f32(1.0),
                       wb=f32(0))
-        return state._replace(cs=new_cs), res
+        return state._replace(cs=new_cs), res, pdf
+
+    def cs_branch_nopdf(state, frame):
+        st, res, _ = cs_branch(state, frame)
+        return st, res
 
     def full_step(state, frame):
         entry_mode = state.mode
+        pdf = None
         if variant == "track":
             # camshift for CS streams; freeze (no-op) for WB/VJ streams so the
             # serving scheduler may dispatch this with a one-tick-stale mode
             # vector (a non-CS stream just stalls until the full step runs)
             is_cs = entry_mode == MODE_CS
-            new_state, res = cs_branch(state, frame)
+            new_state, res, pdf = cs_branch(state, frame)
             state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(is_cs, new, old), new_state, state)
             res = res._replace(conf=jnp.where(is_cs, res.conf, f32(0.0)))
+            if with_pdf:
+                pdf = jnp.where(is_cs, pdf, 0.0)
+        elif with_pdf:
+            state, res, pdf = jax.lax.switch(
+                entry_mode,
+                [lambda s, f: wb_branch(s, f) + (no_pdf(),),
+                 lambda s, f: vj_branch(s, f) + (no_pdf(),),
+                 cs_branch],
+                state, frame)
         else:
             state, res = jax.lax.switch(
-                entry_mode, [wb_branch, vj_branch, cs_branch], state, frame)
+                entry_mode, [wb_branch, vj_branch, cs_branch_nopdf],
+                state, frame)
         detection = entry_mode  # the result's detection type
 
         status = jnp.int32(0)
@@ -282,6 +305,8 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full"):
             diag_ring=diag_ring, diag_n=diag_n,
             headpose_active=headpose_active, tan_fov=tan_fov,
             fov_width=fov_width, head_diag_cam=head_diag_cam, stopped=stopped)
+        if with_pdf:
+            return new_state, out, pdf
         return new_state, out
 
     return full_step

@@ -93,7 +93,14 @@ class Tracker:
                 self.stream = video
             except RuntimeError as e:
                 self._status_event(str(e))  # "no camera" / "no getUserMedia"
-                return False
+                if self.config.altVideo is not None:
+                    # insertAltVideo fallback (src/main.js:132-141): drive the
+                    # pipeline from the provided recorded clip instead
+                    alt = self.config.altVideo
+                    video = (alt if isinstance(alt, VideoSource)
+                             else ClipSource(alt))
+                else:
+                    return False
         elif not isinstance(video, VideoSource):
             video = ClipSource(video)
 
@@ -104,9 +111,13 @@ class Tracker:
             cw, ch = canvas
         self._canvas_size = (cw, ch)
 
-        step = ft.make_step(self._cascade, self.config, (ch, cw))
+        step = ft.make_step(self._cascade, self.config, (ch, cw),
+                            with_pdf=self.config.debug)
         self._step = jax.jit(step, donate_argnums=0)
         self._state = ft.init_state(self.config.whitebalancing)
+        self._last_frame = None
+        self._last_pdf = None
+        self._video_faded = False
 
         if self.config.ui:
             self._ui = Ui(bus=self._bus)
@@ -130,7 +141,12 @@ class Tracker:
             if frame is None:
                 return None
         t0 = _time.time()
-        self._state, out = self._step(self._state, jnp.asarray(frame))
+        if self.config.debug:
+            self._state, out, pdf = self._step(self._state, jnp.asarray(frame))
+            self._last_pdf = np.asarray(pdf)
+            self._last_frame = np.asarray(frame)
+        else:
+            self._state, out = self._step(self._state, jnp.asarray(frame))
         out = jax.tree_util.tree_map(np.asarray, out)
         elapsed_ms = int((_time.time() - t0) * 1000)
         self._last_out = out
@@ -145,6 +161,14 @@ class Tracker:
             if self._detection_timer is not None:
                 self._detection_timer = None
                 self._hints_sent = False
+            # fadeVideo: on first CS lock the reference fades the displayed
+            # video element to 30% opacity (src/main.js:221-224, 368-378);
+            # headless equivalent is a fade() hook on the video source.
+            if self.config.fadeVideo and not self._video_faded:
+                self._video_faded = True
+                fade = getattr(self.video, "fade", None)
+                if callable(fade):
+                    fade()
         if det == ft.MODE_VJ:
             # hints after 5 s of VJ without a lock (src/main.js:188-194)
             if self._detection_timer is None:
@@ -238,6 +262,34 @@ class Tracker:
         return float(self._last_out.fov_deg)
 
     # -- debug / introspection --------------------------------------------
+
+    def get_debug(self):
+        """Debug surface (requires Tracker(debug=True)): the reference paints
+        the VJ rect (blue) / rotated CS rect (green) and the camshift
+        backprojection on the debug canvas every frame
+        (src/main.js:199-219, src/facetrackr.js:194-196).
+
+        Returns None before the first frame, else a dict:
+          frame          (H, W, 3) u8 — the processed frame
+          overlay        (H, W, 3) u8 — frame with the VJ/CS rect drawn
+          backprojection (H, W, 3) u8 grayscale pdf image, or None (non-CS)
+          tracking       the raw tracking dict (getTrackingObject)
+        """
+        if not self.config.debug:
+            raise RuntimeError("get_debug() requires Tracker(debug=True)")
+        if self._last_out is None or self._last_frame is None:
+            return None
+        from ..utils import debugdraw as dd
+        out = self._last_out
+        is_cs = int(out.detection) == ft.MODE_CS
+        overlay = dd.render_debug_frame(self._last_frame, out)
+        bp = None
+        if is_cs and self._last_pdf is not None:
+            val = np.floor(255 * np.clip(self._last_pdf, 0.0, 1.0)
+                           ).astype(np.uint8)
+            bp = np.stack([val, val, val], axis=-1)
+        return dict(frame=np.array(self._last_frame), overlay=overlay,
+                    backprojection=bp, tracking=self.getTrackingObject())
 
     def getTrackingObject(self):
         """Last raw tracking result (facetrackr.getTrackingObject equivalent)."""

@@ -90,6 +90,111 @@ def test_batched_tracker_mixed_then_fast_path():
     assert bt.modes[2] == 0 and bt.modes[0] == 2
 
 
+def test_debug_surface_vj_and_cs_overlays():
+    """Tracker(debug=True) must expose the reference's debug canvas content:
+    blue VJ rect on detection frames, green rotated CS rect + backprojection
+    on tracking frames (src/main.js:199-219, src/facetrackr.js:194-196)."""
+    from headtrackr_tpu.utils.debugdraw import VJ_COLOR, CS_COLOR
+    t = ht.Tracker(ui=False, bus=ht.events.EventBus(), cascade=ht.toy_cascade(),
+                   debug=True, whitebalancing=False)
+    t.init(ClipSource(np.stack([_fr(60, 50)] * 6)))
+    vj_dbg = cs_dbg = None
+    for _ in range(6):
+        out = t.step_once()
+        d = t.get_debug()
+        if int(out.detection) == 1 and vj_dbg is None and out.face_w > 0:
+            vj_dbg = d
+        if int(out.detection) == 2:
+            cs_dbg = d
+    assert vj_dbg is not None and cs_dbg is not None
+    # VJ: blue box pixels at the detection rect border
+    ov = vj_dbg["overlay"]
+    assert (ov == np.array(VJ_COLOR)).all(-1).any(), "no blue VJ rect drawn"
+    assert vj_dbg["backprojection"] is None
+    # CS: green rotated box + backprojection image present
+    ov = cs_dbg["overlay"]
+    assert (ov == np.array(CS_COLOR)).all(-1).any(), "no green CS rect drawn"
+    bp = cs_dbg["backprojection"]
+    cw, ch = t._canvas_size  # source is normalized to width 320 (main.js:144)
+    assert bp is not None and bp.shape == (ch, cw, 3) and bp.max() > 0
+    assert cs_dbg["tracking"]["detection"] == "CS"
+
+
+def test_debug_requires_flag():
+    t = ht.Tracker(ui=False, bus=ht.events.EventBus(), cascade=ht.toy_cascade())
+    t.init(ClipSource(_clip()))
+    with pytest.raises(RuntimeError):
+        t.get_debug()
+
+
+def test_altvideo_fallback_on_camera_failure(monkeypatch):
+    """Camera failure + altVideo => 'no camera' status, then the clip drives
+    the pipeline (src/main.js:132-141)."""
+    from headtrackr_tpu.runtime import tracker as rt
+
+    def boom():
+        raise RuntimeError("no camera")
+
+    monkeypatch.setattr(rt, "CameraSource", boom)
+    bus = ht.events.EventBus()
+    statuses = []
+    bus.add_event_listener(ht.events.STATUS, lambda e: statuses.append(e.status))
+    t = ht.Tracker(ui=False, bus=bus, cascade=ht.toy_cascade(),
+                   altVideo=_clip())
+    assert t.init() is True          # fell back instead of failing
+    assert statuses[:2] == ["getUserMedia", "no camera"]
+    t.run_clip()
+    assert t.status in ("tracking", "stopped")
+    assert "found" in statuses
+
+
+def test_no_altvideo_camera_failure_returns_false(monkeypatch):
+    from headtrackr_tpu.runtime import tracker as rt
+    monkeypatch.setattr(rt, "CameraSource",
+                        lambda: (_ for _ in ()).throw(RuntimeError("no camera")))
+    t = ht.Tracker(ui=False, bus=ht.events.EventBus(), cascade=ht.toy_cascade())
+    assert t.init() is False
+    assert t.status == "no camera"
+
+
+def test_fadevideo_hook_fires_on_first_cs_lock():
+    faded = []
+
+    class FadingClip(ClipSource):
+        def fade(self):
+            faded.append(True)
+
+    t = ht.Tracker(ui=False, bus=ht.events.EventBus(), cascade=ht.toy_cascade(),
+                   fadeVideo=True, whitebalancing=False)
+    t.init(FadingClip(np.stack([_fr(60, 50)] * 8)))
+    t.run_clip()
+    assert faded == [True]  # exactly once (videoFaded latch, src/main.js:222)
+
+
+def test_hints_status_after_5s_vj_stall(monkeypatch):
+    """'hints' fires after 5 s of VJ without a lock (src/main.js:188-194)."""
+    from headtrackr_tpu.runtime import tracker as rt
+    clock = [1000.0]
+    monkeypatch.setattr(rt._time, "time", lambda: clock[0])
+    bus = ht.events.EventBus()
+    statuses = []
+    bus.add_event_listener(ht.events.STATUS, lambda e: statuses.append(e.status))
+    # faceless frames: VJ never locks
+    t = ht.Tracker(ui=False, bus=bus, cascade=ht.toy_cascade(),
+                   whitebalancing=False)
+    t.init(ClipSource(np.stack([_fr()] * 12)))
+    for _ in range(3):
+        t.step_once()
+        clock[0] += 1.0
+    assert "hints" not in statuses   # only 3 s elapsed
+    clock[0] += 3.0                  # now > 5 s since first VJ frame
+    t.step_once()
+    assert "hints" in statuses
+    assert statuses.count("hints") == 1
+    t.step_once()
+    assert statuses.count("hints") == 1  # sent once
+
+
 def test_bucket_step_updates_last_stream_with_padding():
     """Regression: the detection-bucket scatter must not clamp padding slots
     (idx == N) onto stream N-1 — a clamped scatter creates duplicate index
