@@ -249,8 +249,11 @@ def _dense_chunk(p0, p1, I, cascade_np, qh2, qw2, k_lo, k_hi, stages):
         ssum = jnp.zeros((qh2, qw2), jnp.float32)
         for k in range(k0, k1):
             ssum = ssum + votes[k - k_lo]
+        # conf = the LAST-EVALUATED stage's sum: a window dead after stage s
+        # keeps stage s's sum (oracle/detector.py:81, src/ccv.js:227-233) —
+        # not the chunk's final stage sum.
+        conf = jnp.where(alive, ssum, conf)
         alive = alive & (ssum >= np.float32(thr))
-        conf = ssum
     return alive, conf
 
 
@@ -413,8 +416,10 @@ def _patch_chunk(patches_t, cascade_key, k_lo, k_hi, stages, valid, conf_in,
     conf = conf_in
     for (k0, k1_, thr) in stages:
         ssum = votes[k0 - k_lo:k1_ - k_lo].sum(axis=0)      # (W_,)
+        # last-evaluated-stage confidence: stop updating once a window dies
+        # within this chunk (oracle/detector.py:81, src/ccv.js:227-233)
+        conf = jnp.where(alive, ssum, conf)
         alive = alive & (ssum >= np.float32(thr))
-        conf = jnp.where(valid, ssum, conf)
     return alive, conf
 
 
@@ -585,6 +590,9 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
         _, tidx = jax.lax.top_k(tile_rank, k_tiles)
         tvalid = tcount[tidx] > 0
         tsafe = tidx
+        # survivors dropped by tile-capacity eviction (PARITY.md deviation 5)
+        kept_windows = jnp.where(tvalid, tcount[tsafe], 0).sum()
+        overflow = (tcount.sum() - kept_windows).astype(jnp.int32)
 
         tscale = jnp.asarray(tables.tile_scale)[tsafe]
         ty = jnp.asarray(tables.tile_ty)[tsafe]
@@ -617,6 +625,8 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
         if b_end < S:
             # ---- chunk C: window compaction via one-hot row select -------
             idx2, _n2 = compact_indices(alive1, k2)
+            overflow = overflow + jnp.maximum(
+                alive1.sum().astype(jnp.int32) - k2, 0)
             valid2 = idx2 < W_
             safe2 = jnp.minimum(idx2, W_ - 1)
             onehot = (idx2[None, :] ==
@@ -636,6 +646,8 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
             fin_wy2, fin_wx2, fin_ws = wy2, wx2, wscale
 
         slot_idx, _nc = compact_indices(fin_alive, k_cand)
+        overflow = overflow + jnp.maximum(
+            fin_alive.sum().astype(jnp.int32) - k_cand, 0)
         cvalid = slot_idx < fin_alive.shape[0]
         sel = jnp.minimum(slot_idx, fin_alive.shape[0] - 1)
         sx = jnp.asarray(tables.geom_scale_x)[fin_ws[sel]]
@@ -647,7 +659,7 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
             height=24 * sy,
             confidence=fin_conf[sel],
             valid=cvalid,
-            overflow=jnp.int32(0),
+            overflow=overflow,
         )
 
     # ---- single-chunk cascades (e.g. toy models): no deep stages ---------
@@ -663,7 +675,7 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
         height=jnp.asarray(tables.out_h)[wsafe],
         confidence=conf_all[wsafe],
         valid=cvalid,
-        overflow=jnp.int32(0),
+        overflow=jnp.maximum(alive_all.sum().astype(jnp.int32) - k_cand, 0),
     )
 
 
@@ -674,8 +686,10 @@ def detect_objects_padded(gray, cascade, interval=5, min_neighbors=1, k_cand=256
     cand = detect_candidates(gray, cascade, interval, k1=k1, k2=k2, k_cand=k_cand)
     if not min_neighbors > 0:
         return cand
-    return group_candidates(cand["x"], cand["y"], cand["width"], cand["height"],
-                            cand["confidence"], cand["valid"], min_neighbors)
+    g = group_candidates(cand["x"], cand["y"], cand["width"], cand["height"],
+                         cand["confidence"], cand["valid"], min_neighbors)
+    g["overflow"] = cand["overflow"]  # dropped-survivor count (capacity caps)
+    return g
 
 
 def detect_best(gray, cascade, interval=5, min_neighbors=1, k_cand=256,

@@ -47,3 +47,34 @@ def test_batched_tracker_resume_continues_tracking(tmp_path):
     assert (bt2.modes == ft.MODE_CS).all()
     xs = np.asarray(out.face_x)
     assert np.all(xs > 0) and len(set(xs.tolist())) == 3
+
+
+def test_checkpoint_schema_validation(tmp_path):
+    """v2 checkpoints carry keyed leaves + metadata; mismatched targets fail
+    loudly instead of silently unflattening (ADVICE r1)."""
+    bt = ht.BatchedTracker(3, frame_shape=(H, W), cascade=ht.toy_cascade())
+    p = tmp_path / "ckpt.npz"
+    save_tracker(p, bt)
+    # wrong n_streams
+    bt4 = ht.BatchedTracker(4, frame_shape=(H, W), cascade=ht.toy_cascade())
+    with pytest.raises(ValueError):
+        load_tracker(p, bt4)
+    # wrong frame shape -> state leaves same shapes, but metadata differs
+    bt_wrong = ht.BatchedTracker(3, frame_shape=(H * 2, W * 2),
+                                 cascade=ht.toy_cascade())
+    with pytest.raises(ValueError):
+        load_tracker(p, bt_wrong)
+    # wrong state schema for load_state
+    st1 = ft.init_state()
+    with pytest.raises(ValueError):
+        load_state(p, like=st1)  # batched ckpt vs single-stream template
+
+
+def test_checkpoint_paths_are_named(tmp_path):
+    st = ft.init_state()
+    p = tmp_path / "st.npz"
+    save_state(p, st)
+    d = np.load(p)
+    assert "state/cs/model_hist" in d
+    assert "state/mode" in d
+    assert int(d["__format__"]) == 2
