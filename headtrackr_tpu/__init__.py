@@ -40,6 +40,8 @@ from .runtime import events                 # noqa: E402
 from .runtime.tracker import Tracker        # noqa: E402
 from .runtime.ui import Ui                  # noqa: E402
 from .runtime.serving import BatchedTracker  # noqa: E402
+from .runtime.fanout import (StreamFanout, IngestRing,  # noqa: E402
+                             BatchedSession)
 from .runtime.video import (ClipSource, SyntheticFaceSource,  # noqa: E402
                             CameraSource)
 
@@ -50,6 +52,7 @@ __all__ = [
     "Cascade", "frontalface", "toy_cascade", "TrackerConfig",
     "ccv", "camshift", "headposition", "controllers",
     "Smoother", "getWhitebalance", "Tracker", "Ui", "BatchedTracker",
+    "StreamFanout", "IngestRing", "BatchedSession",
     "ClipSource", "SyntheticFaceSource", "CameraSource",
     "events", "cascade", "rev",
 ]
