@@ -5,11 +5,27 @@ state is a pytree, so N streams are a stacked state and a vmapped step — no
 cross-stream communication exists in the algorithm, so scaling is pure data
 parallelism over a 1-D device mesh (SURVEY §2 checklist).
 
-Dispatch policy (host scheduler):
+Two schedulers:
+
+Host scheduler (BatchedTracker.step):
   - any stream in WB or VJ mode  -> vmapped "full" step (pays the detector)
+  - <= bucket streams non-CS     -> "bucket" step (camshift for all + full
+                                    machinery for just those streams)
   - every stream tracking (CS)   -> vmapped "track" fast path
-Modes live on device; the host reads back a tiny mode vector each tick to pick
-the next step function.  Both functions are compiled once.
+Modes live on device; the host reads back a tiny mode vector every
+``sync_interval`` ticks to pick the next step function (stale view = up to
+that many ticks of detection latency for a freshly lost stream).
+
+Device scheduler (BatchedTracker.step_auto / run_scan):
+  One program per tick: camshift for all streams, then an ON-DEVICE top_k over
+  the entry modes picks the <= bucket (re)detecting streams and a lax.cond
+  skips the whole detector when there are none.  No host mode reads, so
+  scheduling latency is zero ticks and run_scan can fuse K ticks into one
+  dispatch (lax.scan) for throughput serving — dispatch overhead measured at
+  ~1.3 ms/call on the axon tunnel, ~16% of a steady-state tick.  With a mesh,
+  the device scheduler runs under shard_map: each device top_k-schedules its
+  OWN stream shard (bucket per device, zero cross-chip collectives), which is
+  the sharding-native form of the reference's one-tracker-per-page loop.
 """
 
 import numpy as np
@@ -27,7 +43,7 @@ __all__ = ["BatchedTracker", "make_batched_steps"]
 
 def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
                        bucket=32):
-    """Returns (step_full, step_track, step_bucket): jitted vmapped steps.
+    """Returns (step_full, step_track, step_bucket, step_auto, step_scan).
 
     step_bucket(state, frames, idx) runs the camshift fast path for ALL
     streams plus the full WB/VJ machinery for the <= ``bucket`` streams named
@@ -35,18 +51,25 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
     are (re)detecting while everyone else tracks.  Detector cost scales with
     the bucket, not the batch.
 
+    step_auto(state, frames) is the same tick with the scheduling ON DEVICE
+    (top_k over entry modes + lax.cond around the detector) — no host mode
+    vector, zero scheduling staleness.  step_scan(state, frames_seq) scans
+    step_auto over a (K, N, H, W, 3) tick sequence in one dispatch.
+
     With a mesh, state and frames are sharded over the leading (stream) axis on
-    mesh axis 'streams'; XLA partitions the step SPMD over ICI with no
-    collectives in the hot path.
+    mesh axis 'streams'; XLA partitions full/track/bucket SPMD over ICI with no
+    collectives in the hot path, and auto/scan run under shard_map with
+    per-device scheduling (bucket per device).
     """
     full1 = ft.make_step(cascade, config, frame_shape, "full")
     track1 = ft.make_step(cascade, config, frame_shape, "track")
     full = jax.vmap(full1)
     track = jax.vmap(track1)
 
-    def bucket_step(state, frames, idx):
+    def _apply_bucket(state1, out, frames, idx):
+        """Run the full WB/VJ/CS machinery for the streams named by idx
+        (padded with N) and merge the results into the post-track batch."""
         N = frames.shape[0]
-        state1, out = track(state, frames)          # CS streams advance
         safe = jnp.minimum(idx, N - 1)
         sub_state = jax.tree_util.tree_map(lambda a: a[safe], state1)
         sub_frames = frames[safe]
@@ -70,15 +93,75 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
         out2 = jax.tree_util.tree_map(scatter, out, sub_out)
         return state2, out2
 
+    def bucket_step(state, frames, idx):
+        state1, out = track(state, frames)          # CS streams advance
+        return _apply_bucket(state1, out, frames, idx)
+
+    def auto_step(state, frames):
+        """Device-scheduled tick: no host mode vector.  Streams whose ENTRY
+        mode is WB/VJ (same per-frame semantics as the reference: a stream
+        that loses track this tick redetects on the NEXT frame,
+        src/main.js:230-248) pick the branch — the same 3-way dispatch the
+        host scheduler makes, but from an on-device count:
+          0 pending            -> camshift fast path only
+          1..bucket pending    -> fast path + top_k bucket of full steps
+          > bucket pending     -> full step for the whole batch (cold start /
+                                  mass loss; nothing would fit the bucket)
+        lax.switch executes exactly one branch per tick."""
+        N = frames.shape[0]
+        entry_non_cs = state.mode != ft.MODE_CS
+        npend = entry_non_cs.sum()
+
+        def b_track(state, frames):
+            return track(state, frames)
+
+        def b_bucket(state, frames):
+            state1, out = track(state, frames)
+            # top_k is stable (ties -> lowest stream index first); padding
+            # slots get idx == N, dropped by the scatter
+            vals, idx = jax.lax.top_k(entry_non_cs.astype(jnp.int32), bucket)
+            idx = jnp.where(vals > 0, idx, N)
+            return _apply_bucket(state1, out, frames, idx)
+
+        def b_full(state, frames):
+            return full(state, frames)
+
+        sel = jnp.where(npend == 0, 0, jnp.where(npend <= bucket, 1, 2))
+        return jax.lax.switch(sel, [b_track, b_bucket, b_full], state, frames)
+
+    def scan_steps(state, frames_seq):
+        """K ticks in one dispatch: lax.scan of auto_step over the leading
+        tick axis of frames_seq (K, N, H, W, 3).  Returns (state, StepOutput
+        with (K, N) leaves)."""
+        return jax.lax.scan(auto_step, state, frames_seq)
+
     kw = dict(donate_argnums=0) if donate else {}
     if mesh is None:
         return (jax.jit(full, **kw), jax.jit(track, **kw),
-                jax.jit(bucket_step, **kw))
+                jax.jit(bucket_step, **kw), jax.jit(auto_step, **kw),
+                jax.jit(scan_steps, **kw))
+    # Device scheduling under a mesh: shard_map so each device runs top_k /
+    # cond / bucket on its OWN shard — per-device buckets, no collectives.
+    spec = P("streams")
+    seq_spec = P(None, "streams")  # leading tick axis replicated
+    # check_vma=False: shards are fully independent (no collectives), so the
+    # varying-axis bookkeeping adds nothing and trips on scan carries.
+    auto_sm = jax.shard_map(auto_step, mesh=mesh,
+                            in_specs=(spec, spec), out_specs=(spec, spec),
+                            check_vma=False)
+    # out leaves gain a leading K axis in scan; stream axis stays sharded
+    scan_sm = jax.shard_map(scan_steps, mesh=mesh,
+                            in_specs=(spec, seq_spec),
+                            out_specs=(spec, seq_spec),
+                            check_vma=False)
     shard = NamedSharding(mesh, P("streams"))
+    seq_shard = NamedSharding(mesh, P(None, "streams"))
     rep = NamedSharding(mesh, P())
     return (jax.jit(full, in_shardings=(shard, shard), **kw),
             jax.jit(track, in_shardings=(shard, shard), **kw),
-            jax.jit(bucket_step, in_shardings=(shard, shard, rep), **kw))
+            jax.jit(bucket_step, in_shardings=(shard, shard, rep), **kw),
+            jax.jit(auto_sm, in_shardings=(shard, shard), **kw),
+            jax.jit(scan_sm, in_shardings=(shard, seq_shard), **kw))
 
 
 class BatchedTracker:
@@ -107,7 +190,15 @@ class BatchedTracker:
         self.cascade = cascade if cascade is not None else frontalface()
         self.mesh = mesh
         self.bucket = max(1, min(int(bucket), n_streams))
-        self._step_full, self._step_track, self._step_bucket = \
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            if n_streams % n_dev:
+                raise ValueError(f"n_streams={n_streams} not divisible by "
+                                 f"mesh size {n_dev}")
+            # device scheduling is per shard: bucket must fit one shard
+            self.bucket = min(self.bucket, n_streams // n_dev)
+        (self._step_full, self._step_track, self._step_bucket,
+         self._step_auto, self._step_scan) = \
             make_batched_steps(self.cascade, self.config, frame_shape, mesh,
                                bucket=self.bucket)
         state1 = ft.init_state(self.config.whitebalancing)
@@ -123,15 +214,25 @@ class BatchedTracker:
         self.sync_interval = max(1, int(sync_interval))
         self._tick = 0
 
-    def warmup(self):
-        """Compile all three step programs up front (the bucket program would
+    def warmup(self, scan_len=None, host_sched=True):
+        """Compile the step programs up front (the bucket program would
         otherwise compile lazily on the first track-loss tick — a multi-minute
-        stall in the middle of serving)."""
+        stall in the middle of serving).
+
+        host_sched=True also compiles the host-scheduler trio (full/track/
+        bucket); step_auto always compiles.  scan_len=K additionally compiles
+        the K-tick run_scan program for that static K."""
         frames = jnp.zeros((self.n,) + self.frame_shape + (3,), jnp.uint8)
         idx = jnp.full((self.bucket,), self.n, jnp.int32)
-        for fn, args in ((self._step_track, (frames,)),
-                         (self._step_bucket, (frames, idx)),
-                         (self._step_full, (frames,))):
+        plan = [(self._step_auto, (frames,))]
+        if host_sched:
+            plan += [(self._step_track, (frames,)),
+                     (self._step_bucket, (frames, idx)),
+                     (self._step_full, (frames,))]
+        if scan_len:
+            seq = jnp.zeros((scan_len,) + frames.shape, jnp.uint8)
+            plan.append((self._step_scan, (seq,)))
+        for fn, args in plan:
             state = jax.tree_util.tree_map(jnp.copy, self.state)
             st, out = fn(state, *args)
             np.asarray(out.mode_after)  # force completion
@@ -178,6 +279,25 @@ class BatchedTracker:
         else:
             # out.mode_after is an output buffer (not donated next tick)
             self._pending_modes = out.mode_after
+        return out
+
+    def step_auto(self, frames):
+        """One device-scheduled tick (no host mode vector; zero scheduling
+        staleness).  Interchangeable with step(sync_interval=1) semantics."""
+        self._tick += 1
+        self.state, out = self._step_auto(self.state, jnp.asarray(frames))
+        self._pending_modes = out.mode_after
+        return out
+
+    def run_scan(self, frames_seq):
+        """K device-scheduled ticks in ONE dispatch (throughput mode: adds K
+        ticks of result latency).  frames_seq: (K, N, H, W, 3) u8.  Returns a
+        StepOutput batch with (K, N) leaves.  Each distinct K compiles its own
+        program — pass scan_len=K to warmup() first for serving."""
+        frames_seq = jnp.asarray(frames_seq)
+        self._tick += int(frames_seq.shape[0])
+        self.state, out = self._step_scan(self.state, frames_seq)
+        self._pending_modes = out.mode_after[-1]
         return out
 
     @property

@@ -215,6 +215,72 @@ def test_bucket_step_updates_last_stream_with_padding():
         "last stream stalled in detection — bucket scatter dropped its update")
 
 
+def test_device_scheduler_matches_host_scheduler():
+    """step_auto / run_scan (on-device top_k scheduling + lax.cond around the
+    detector) must be bit-identical to the host scheduler at sync_interval=1,
+    through lock, a mid-clip track loss, and redetection."""
+    import jax
+
+    N = 4
+    base = np.stack([_fr(60, 50), _fr(70, 60), _fr(80, 70), _fr(90, 80)])
+    seq = [base] * 17
+    lost = base.copy()
+    lost[1] = _fr(blue=True)
+    seq += [lost] + [base] * 8
+    seq = np.stack(seq)  # (26, N, H, W, 3)
+
+    kw = dict(frame_shape=(H, W), cascade=ht.toy_cascade())
+    bt_host = ht.BatchedTracker(N, sync_interval=1, **kw)
+    bt_auto = ht.BatchedTracker(N, **kw)
+    bt_scan = ht.BatchedTracker(N, **kw)
+
+    outs_h, outs_a = [], []
+    for f in seq:
+        outs_h.append(bt_host.step(f, sync=True))
+        outs_a.append(bt_auto.step_auto(f))
+    out_s = bt_scan.run_scan(seq[:13])
+    out_s2 = bt_scan.run_scan(seq[13:])
+
+    def eq(a, b):
+        ok = jax.tree_util.tree_map(
+            lambda x, y: bool((np.asarray(x) == np.asarray(y)).all()), a, b)
+        return all(jax.tree_util.tree_leaves(ok))
+
+    for oh, oa in zip(outs_h, outs_a):
+        assert eq(oh, oa)
+    for k, oh in enumerate(outs_h):
+        osk = jax.tree_util.tree_map(
+            lambda x: x[k - 13] if k >= 13 else x[k],
+            out_s2 if k >= 13 else out_s)
+        assert eq(oh, osk), f"tick {k}"
+    assert eq(bt_host.state, bt_auto.state) and eq(bt_host.state, bt_scan.state)
+    # the loss tick emitted redetecting for stream 1 only
+    st = np.asarray(out_s2.status)
+    import headtrackr_tpu.models.facetracker as ftm
+    assert st[17 - 13, 1] & ftm.STATUS_REDETECTING
+    assert bt_auto.modes.tolist() == [2, 2, 2, 2]
+
+
+def test_device_scheduler_full_branch_parity():
+    """bucket < pending streams (cold start / mass loss): the device
+    scheduler's 3-way switch must take the full-batch branch, exactly like
+    the host scheduler's dispatch."""
+    import jax
+
+    N = 4
+    frames = np.stack([_fr(60, 50), _fr(70, 60), _fr(80, 70), _fr(90, 80)])
+    kw = dict(frame_shape=(H, W), cascade=ht.toy_cascade(), bucket=2)
+    bt_host = ht.BatchedTracker(N, sync_interval=1, **kw)
+    bt_auto = ht.BatchedTracker(N, **kw)
+    for _ in range(17):  # all 4 pending with bucket=2 -> full branch
+        o1 = bt_host.step(frames, sync=True)
+        o2 = bt_auto.step_auto(frames)
+        ok = jax.tree_util.tree_map(
+            lambda x, y: bool((np.asarray(x) == np.asarray(y)).all()), o1, o2)
+        assert all(jax.tree_util.tree_leaves(ok))
+    assert bt_auto.modes.tolist() == [2, 2, 2, 2]
+
+
 def test_clip_source_and_normalize():
     assert normalize_size(640, 480) == (320, 240)
     assert normalize_size(480, 640) == (180, 240)
