@@ -66,8 +66,10 @@ class Tracker:
         self.calc_angles = bool(calcAngles)
         self._state = None
         self._pdf = None
+        # conformance-facing API: bit-faithful f32 math on every backend
+        # (serving uses TrackerConfig.exactCamshift to choose)
         self._step = jax.jit(
-            lambda s, f: mc.track(s, f, self.calc_angles))
+            lambda s, f: mc.track(s, f, self.calc_angles, exact=True))
 
     def initTracker(self, image, rect):
         if isinstance(rect, (tuple, list)):

@@ -48,6 +48,13 @@ class TrackerConfig:
     maxCandidates: int = 256           # device-side grouping capacity
     survivorsStage2: int = 4096        # compaction width after stages 0-1
     survivorsDeep: int = 512           # compaction width after stages 2-5
+    exactCamshift: bool = False        # True: bit-faithful f32 camshift math
+                                       # on TPU (backprojection lookup + moment
+                                       # prefix sums at Precision.HIGHEST,
+                                       # ~35% camshift cost); False: weights
+                                       # bf16-rounded inside the MXU dot —
+                                       # docs/PARITY.md deviation 11.  CPU is
+                                       # identical either way.
 
     @property
     def smoothingInterval(self) -> int:

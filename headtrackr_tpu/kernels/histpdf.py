@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from ..ops.histogram import split_bf16_3
+
 __all__ = ["hist_pallas", "pdf_pallas", "split_bf16_3", "DEFAULT_BLOCK"]
 
 _HI = 64
@@ -91,29 +93,6 @@ def _pad_blocks(bins, block):
     if pad:
         flat = jnp.pad(flat, (0, pad), constant_values=_PAD_BIN)
     return flat.reshape(1, nb * block), nb, P
-
-
-def split_bf16_3(w):
-    """Exact triple bf16 split of normal f32: w == w1 + w2 + w3 (f32 sums).
-
-    Implemented by BIT-MASKING the top 16 bits (truncation split), not by
-    arithmetic round-trips: XLA:TPU's excess-precision simplification legally
-    removes f32->bf16->f32 round-trips, which silently zeroes the residuals of
-    the textbook ``w - bf16(w)`` split (measured on-chip: reconstruction error
-    collapsed to one bf16 ulp of w).  A masked f32 is exactly representable in
-    bf16, so the final casts lose nothing and cannot be simplified away."""
-    mask = jnp.uint32(0xFFFF0000)
-
-    def trunc(x):
-        b = jax.lax.bitcast_convert_type(x, jnp.uint32)
-        return jax.lax.bitcast_convert_type(b & mask, jnp.float32)
-
-    w1f = trunc(w)
-    r1 = w - w1f               # exact (Sterbenz-adjacent: <= 16 mantissa bits)
-    w2f = trunc(r1)
-    r2 = r1 - w2f              # exact, <= 8 significant bits
-    return (w1f.astype(jnp.bfloat16), w2f.astype(jnp.bfloat16),
-            r2.astype(jnp.bfloat16))
 
 
 def hist_pallas(bins, block=DEFAULT_BLOCK):

@@ -68,7 +68,7 @@ def _js_shift(v):
     return jnp.where(jnp.isfinite(v), jnp.trunc(v), 0.0).astype(jnp.int32)
 
 
-def _marginal_planes(pdf):
+def _marginal_planes(pdf, exact=False):
     """1-D prefix sums feeding the per-iteration window marginals:
 
       col_cum (H+1, W): col_cum[y, x] = sum_{y' < y} pdf[y', x]
@@ -85,29 +85,45 @@ def _marginal_planes(pdf):
     H, W = pdf.shape
     tri_r = jnp.asarray(np.tril(np.ones((H, H), np.float32)))
     tri_c = jnp.asarray(np.triu(np.ones((W, W), np.float32)))
-    col_cum = jnp.pad(jnp.dot(tri_r, pdf,
+    # TPU numerics: a DEFAULT-precision dot rounds the pdf operand to bf16
+    # inside the matmul (~0.4% moment error — enough to flip the JS
+    # truncations occasionally).  exact=True (TrackerConfig.exactCamshift)
+    # raises these prefix sums to Precision.HIGHEST (bf16x6: f32-faithful
+    # for the 0/1 triangular lhs) — measured +1.7 ms/tick at 256 streams.
+    prec = (jax.lax.Precision.HIGHEST if exact
+            else jax.lax.Precision.DEFAULT)
+    col_cum = jnp.pad(jnp.dot(tri_r, pdf, precision=prec,
                               preferred_element_type=jnp.float32),
                       ((1, 0), (0, 0)))
-    row_cum = jnp.pad(jnp.dot(pdf, tri_c,
+    row_cum = jnp.pad(jnp.dot(pdf, tri_c, precision=prec,
                               preferred_element_type=jnp.float32),
                       ((0, 0), (1, 0)))
     return col_cum, row_cum
 
 
-def _select_lines(plane, i0, i1, axis):
+def _select_lines(plane, i0, i1, axis, exact=False):
     """Rows (axis=0) or columns (axis=1) i0/i1 of ``plane`` via a one-hot
-    matmul (exact: one nonzero per row) — no gather, vmap-friendly."""
+    matmul (one nonzero per row) — no gather, vmap-friendly.
+
+    exact: Precision.HIGHEST makes the selection return the full-f32 plane
+    value on TPU (bf16x6 keeps the a1*b3 term; DEFAULT bf16-rounds it).
+    Costs +1.7 ms/tick at 256 streams — these 40 tiny dots sit inside the
+    sequential mean-shift loop, so extra passes serialize (measured)."""
     n = plane.shape[axis]
     iota = jax.lax.broadcasted_iota(jnp.int32, (2, n), 1)
     sel = (iota == jnp.stack([i0, i1])[:, None]).astype(jnp.float32)
+    prec = (jax.lax.Precision.HIGHEST if exact
+            else jax.lax.Precision.DEFAULT)
     if axis == 0:
-        two = jnp.dot(sel, plane, preferred_element_type=jnp.float32)
+        two = jnp.dot(sel, plane, precision=prec,
+                      preferred_element_type=jnp.float32)
         return two[0], two[1]
-    two = jnp.dot(plane, sel.T, preferred_element_type=jnp.float32)
+    two = jnp.dot(plane, sel.T, precision=prec,
+                  preferred_element_type=jnp.float32)
     return two[:, 0], two[:, 1]
 
 
-def _first_moments_marginal(planes, wadx, wady, wadw, wadh):
+def _first_moments_marginal(planes, wadx, wady, wadw, wadh, exact=False):
     """m00/m10/m01 with vx/vy relative to the window origin
     (src/camshift.js:79-107: w/h args are exclusive upper bounds)."""
     col_cum, row_cum = planes
@@ -115,9 +131,9 @@ def _first_moments_marginal(planes, wadx, wady, wadw, wadh):
     W = col_cum.shape[1]
     empty = (wadw <= wadx) | (wadh <= wady)
     top, bot = _select_lines(col_cum, jnp.clip(wady, 0, H),
-                             jnp.clip(wadh, 0, H), axis=0)
+                             jnp.clip(wadh, 0, H), axis=0, exact=exact)
     lef, rig = _select_lines(row_cum, jnp.clip(wadx, 0, W),
-                             jnp.clip(wadw, 0, W), axis=1)
+                             jnp.clip(wadw, 0, W), axis=1, exact=exact)
     colmass = bot - top                     # (W,) mass of rows [wady, wadh)
     rowmass = rig - lef                     # (H,)
     xs = jax.lax.iota(jnp.int32, W)
@@ -149,12 +165,13 @@ def _second_moments(pdf, wadx, wady, wadw, wadh):
     return m11, m20, m02
 
 
-def mean_shift(pdf, window):
+def mean_shift(pdf, window, exact=False):
     """<=10 mean-shift iterations (src/camshift.js:261-312).
 
-    Returns (window', moments dict at the stopping iteration, zero_mass flag)."""
+    Returns (window', moments dict at the stopping iteration, zero_mass flag).
+    exact: full-f32 moment prefix sums on TPU (TrackerConfig.exactCamshift)."""
     H, W = pdf.shape
-    planes = _marginal_planes(pdf)
+    planes = _marginal_planes(pdf, exact)
 
     def body(i, carry):
         win, prevx, prevy, done, m, wad = carry
@@ -162,7 +179,8 @@ def mean_shift(pdf, window):
         wady = jnp.maximum(win[1], 0)
         wadw = jnp.minimum(wadx + win[2], W)
         wadh = jnp.minimum(wady + win[3], H)
-        m00, m10, m01 = _first_moments_marginal(planes, wadx, wady, wadw, wadh)
+        m00, m10, m01 = _first_moments_marginal(planes, wadx, wady, wadw,
+                                                wadh, exact)
         nonzero = m00 > 0
         xc = jnp.where(nonzero, m10 / jnp.maximum(m00, 1e-30), jnp.nan)
         yc = jnp.where(nonzero, m01 / jnp.maximum(m00, 1e-30), jnp.nan)
@@ -212,13 +230,16 @@ def _sqrt_shl2(v, bad):
     return jnp.where(ok, jnp.trunc(r) * 4, 0.0).astype(jnp.int32)
 
 
-def track(state, frame_rgb, calc_angles=True):
-    """One camshift frame step (src/camshift.js:213-259).  Returns new state."""
+def track(state, frame_rgb, calc_angles=True, exact=False):
+    """One camshift frame step (src/camshift.js:213-259).  Returns new state.
+
+    exact: bit-faithful f32 camshift math on TPU (conformance mode; on CPU
+    both modes are identical) — see TrackerConfig.exactCamshift."""
     H, W = frame_rgb.shape[0], frame_rgb.shape[1]
     bins = rgb_bins(frame_rgb)
-    _, pdf = histogram_and_pdf(bins, state.model_hist)
+    _, pdf = histogram_and_pdf(bins, state.model_hist, exact=exact)
 
-    win, m, zero_mass = mean_shift(pdf, state.window)
+    win, m, zero_mass = mean_shift(pdf, state.window, exact)
 
     a = m["mu20"] * m["invM00"]
     c = m["mu02"] * m["invM00"]
@@ -250,6 +271,6 @@ def track(state, frame_rgb, calc_angles=True):
                           track_angle=ang.astype(jnp.float32)), pdf
 
 
-def camshift_step(state, frame_rgb, calc_angles=True):
-    new_state, _ = track(state, frame_rgb, calc_angles)
+def camshift_step(state, frame_rgb, calc_angles=True, exact=False):
+    new_state, _ = track(state, frame_rgb, calc_angles, exact)
     return new_state

@@ -167,7 +167,8 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         return state._replace(mode=new_mode, cs=cs_state), res
 
     def cs_branch(state, frame):
-        new_cs, pdf = cs.track(state.cs, frame, config.calcAngles)
+        new_cs, pdf = cs.track(state.cs, frame, config.calcAngles,
+                               config.exactCamshift)
         res = _Result(x=new_cs.track_x.astype(f32), y=new_cs.track_y.astype(f32),
                       w=new_cs.track_w.astype(f32), h=new_cs.track_h.astype(f32),
                       angle=new_cs.track_angle.astype(f32), conf=f32(1.0),

@@ -14,6 +14,22 @@ factorizes as 64*hi + lo, so
 Counts are exact (f32 accumulation of 0/1 products up to 2^24); pdf is computed
 in f32 so weights keep full precision.  Exactness vs the NumPy oracle is
 asserted in tests/test_camshift.py.
+
+TPU precision note (measured on v5e, see docs/PERFORMANCE.md):
+  - DEFAULT matmul precision is ONE bf16 pass: it rounds the weight matrix to
+    8 mantissa bits inside the selection matmul (pdf off by 3.4e-3 relative).
+  - Precision.HIGH (bf16x3) keeps only the top-3 cross products a1b1, a1b2,
+    a2b1 — for a one-hot lhs (a = (1,0,0)) the b3 term is LOST, still 1e-5 off.
+  - Precision.HIGHEST (bf16x6) includes a1b3: EXACT f32 selection for a 0/1
+    lhs, verified bit-exact on-chip, at ~53% extra pdf-pass cost.
+  - Any reformulation that gives the one-hot operand a second consumer or a
+    wider rhs (weight splits, concatenated rhs) breaks XLA's compare-into-dot
+    fusion and materializes ~0.5 GB/step of one-hots — measured 5x slower.
+    Keep these dots single-consumer, 64-wide.
+The exact=... parameters select DEFAULT (serving) vs HIGHEST (conformance,
+TrackerConfig.exactCamshift).  Integer one-hot products (the int8 histogram)
+are exact at any precision.  split_bf16_3 remains for the Pallas kernels,
+where genuine-bf16 operands are native.
 """
 
 import jax
@@ -22,11 +38,42 @@ import numpy as np
 
 __all__ = ["rgb_bins", "histogram_4096", "histogram_rect",
            "backprojection_weights", "backprojection_pdf",
-           "histogram_and_pdf"]
+           "histogram_and_pdf", "split_bf16_3"]
 
 NBINS = 4096
 _HI = 64
 _LO = 64
+
+
+def split_bf16_3(w, as_f32=False):
+    """Exact triple bf16 split of normal f32: w == w1 + w2 + w3 (f32 sums).
+
+    Implemented by BIT-MASKING the top 16 bits (truncation split), not by
+    arithmetic round-trips: XLA:TPU's excess-precision simplification legally
+    removes f32->bf16->f32 round-trips, which silently zeroes the residuals of
+    the textbook ``w - bf16(w)`` split (measured on-chip: reconstruction error
+    collapsed to one bf16 ulp of w).  A masked f32 is exactly representable in
+    bf16, so the final casts lose nothing and cannot be simplified away.
+
+    as_f32=True returns the pieces as f32 arrays whose values sit exactly on
+    the bf16 grid: a DEFAULT-precision (one-bf16-pass) TPU matmul converts
+    such operands losslessly, so f32-layout dots against them are exact —
+    and ~5x faster than genuine-bf16 operands here, whose compare->bf16
+    relayout was measured at +30 ms/tick at 256 streams."""
+    mask = jnp.uint32(0xFFFF0000)
+
+    def trunc(x):
+        b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        return jax.lax.bitcast_convert_type(b & mask, jnp.float32)
+
+    w1f = trunc(w)
+    r1 = w - w1f               # exact (Sterbenz-adjacent: <= 16 mantissa bits)
+    w2f = trunc(r1)
+    r2 = r1 - w2f              # exact, <= 8 significant bits
+    if as_f32:
+        return w1f, w2f, r2
+    return (w1f.astype(jnp.bfloat16), w2f.astype(jnp.bfloat16),
+            r2.astype(jnp.bfloat16))
 
 
 def rgb_bins(rgb):
@@ -78,21 +125,44 @@ def backprojection_weights(model_hist, cur_hist):
     return jnp.where(cur_hist != 0, jnp.minimum(model_hist / safe, 1.0), 0.0)
 
 
-def backprojection_pdf(bins, weights):
-    """(H, W) i32, (4096,) f32 -> (H, W) f32 per-pixel probability (MXU)."""
-    oh_hi, oh_lo = _one_hots(bins)
-    Wm = weights.reshape(_HI, _LO)
-    rows = jnp.dot(oh_hi, Wm, preferred_element_type=jnp.float32)  # (P, 64)
-    pdf = jnp.sum(rows * oh_lo, axis=1)
+def _pdf_rows(flat, Wm, exact):
+    """(P,) i32 bins + (64, 64) f32 weights -> (P,) weight lookup.
+
+    ONE dot, fusion-critical: a second consumer of the one-hot operand (or a
+    wider rhs) stops XLA fusing the compare into the matmul and materializes
+    ~0.5 GB/scan-step of one-hots to HBM — measured 5x slowdowns for every
+    split/concat variant.  exact=True keeps that single-dot shape and raises
+    the dot to Precision.HIGHEST (bf16x6 includes the a1*b3 term, so a
+    one-hot lhs selects the full-f32 weight bit-exactly; +53%% pdf-pass cost,
+    measured).  exact=False is the serving default: DEFAULT precision rounds
+    the weights to bf16 inside the dot (documented deviation,
+    docs/PARITY.md)."""
+    oh_hi, oh_lo = _one_hots(flat)
+    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    rows = jnp.dot(oh_hi, Wm, preferred_element_type=jnp.float32,
+                   precision=prec)
+    return jnp.sum(rows * oh_lo, axis=1)
+
+
+def backprojection_pdf(bins, weights, exact=True):
+    """(H, W) i32, (4096,) f32 -> (H, W) f32 per-pixel probability (MXU).
+
+    exact=True (default here — this is the conformance-facing API): the
+    lookup returns the full-f32 weight on every backend."""
+    pdf = _pdf_rows(bins.reshape(-1), weights.reshape(_HI, _LO), exact)
     return pdf.reshape(bins.shape)
 
 
-def histogram_and_pdf(bins, model_hist, block=8192):
+def histogram_and_pdf(bins, model_hist, block=8192, exact=False):
     """Fused current-histogram + ratio weights + backprojection.
 
     Pixel axis is scanned in blocks so the transient one-hot factors stay
     ~block x 64 (a full-frame one-hot is ~40 MB/stream and OOMs HBM at serving
-    batch sizes).  Returns (cur_hist (4096,), pdf (H, W))."""
+    batch sizes).  Returns (cur_hist (4096,), pdf (H, W)).
+
+    exact: pdf is the full-f32 weight lookup on TPU too (conformance mode,
+    TrackerConfig.exactCamshift); default trades bf16-rounded weights for
+    ~35%% camshift throughput (counts are exact either way)."""
     shape = bins.shape
     flat = bins.reshape(-1)
     P = flat.shape[0]
@@ -115,9 +185,7 @@ def histogram_and_pdf(bins, model_hist, block=8192):
     Wm = weights.reshape(_HI, _LO)
 
     def pdf_body(_, blk):
-        oh_hi, oh_lo = _one_hots(blk)
-        rows = jnp.dot(oh_hi, Wm, preferred_element_type=jnp.float32)
-        return None, jnp.sum(rows * oh_lo, axis=1)
+        return None, _pdf_rows(blk, Wm, exact)
 
     _, pdf = jax.lax.scan(pdf_body, None, blocks)
     return cur, pdf.reshape(-1)[:P].reshape(shape)

@@ -128,3 +128,23 @@ def test_calc_angles_false(rng):
     assert int(st.track_w) == ro["width"]
     assert int(st.track_h) == ro["height"]
     assert abs(float(st.track_angle) - np.pi / 2) < 1e-6
+
+
+def test_exact_flag_identical_on_cpu(rng):
+    """exactCamshift only raises TPU matmul precision; on CPU both modes must
+    be bit-identical (golden tests therefore cover both by construction)."""
+    H, W = 60, 80
+    f0 = _blob_frame(rng, H, W, 30, 25)
+    rect = (24, 17, 12, 16)
+    st_f = mc.init_tracker(jnp.asarray(f0), jnp.asarray(rect, jnp.int32))
+    st_e = mc.init_tracker(jnp.asarray(f0), jnp.asarray(rect, jnp.int32))
+    fast = jax.jit(lambda s, f: mc.track(s, f, True, exact=False))
+    prec = jax.jit(lambda s, f: mc.track(s, f, True, exact=True))
+    for t in range(8):
+        f1 = _blob_frame(rng, H, W, 30 + t, 25)
+        st_f, pdf_f = fast(st_f, jnp.asarray(f1))
+        st_e, pdf_e = prec(st_e, jnp.asarray(f1))
+        np.testing.assert_array_equal(np.asarray(pdf_f), np.asarray(pdf_e))
+        for a, b in zip(jax.tree_util.tree_leaves(st_f),
+                        jax.tree_util.tree_leaves(st_e)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
