@@ -86,6 +86,13 @@ def main():
                     help="ticks per dispatch (default: --pool)")
     ap.add_argument("--loss-streams", type=int, default=4,
                     help="streams losing track once per pool pass")
+    ap.add_argument("--bucket", type=int, default=8,
+                    help="redetect bucket capacity (device scheduler falls "
+                         "back to a full-batch detect tick when more streams "
+                         "are pending; sized 2x the workload's simultaneous "
+                         "loss rate — the detector's cost on a redetect tick "
+                         "scales with this, measured 28.0k fps at 32 vs "
+                         "34.7k at 8)")
     ap.add_argument("--latency-ticks", type=int, default=50)
     ap.add_argument("--h2d", action="store_true",
                     help="also measure true end-to-end ingest (fresh host "
@@ -94,6 +101,18 @@ def main():
     scan_len = args.scan or args.pool
 
     import jax
+
+    # Persistent compilation cache: the serving programs take minutes to
+    # compile (remote compile on axon); repeat invocations with unchanged
+    # code hit the on-disk cache (keys are HLO fingerprints — safe).
+    # Verified to work with the axon TPU backend.  Opt out:
+    # HEADTRACKR_JAX_CACHE=off.
+    cache_dir = os.environ.get("HEADTRACKR_JAX_CACHE",
+                               "/root/.cache/headtrackr_jax")
+    if cache_dir and cache_dir != "off":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     import jax.numpy as jnp
 
     import headtrackr_tpu as ht
@@ -104,7 +123,8 @@ def main():
     rng = np.random.default_rng(0)
     pool_np = build_pool(N, H, W, args.pool, args.loss_streams, rng)
 
-    bt = ht.BatchedTracker(N, frame_shape=(H, W), ui=False)
+    bt = ht.BatchedTracker(N, frame_shape=(H, W), ui=False,
+                           bucket=args.bucket)
 
     print("# compiling (device-scheduled step + scan program)...",
           file=sys.stderr)

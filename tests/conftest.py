@@ -25,6 +25,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's cost is dominated by recompiling
+# the same detector/serving programs every run (cache keys are HLO
+# fingerprints, so code changes miss safely).  Shared with
+# __graft_entry__.dryrun_multichip.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("HEADTRACKR_JAX_CACHE",
+                                 "/root/.cache/headtrackr_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu():

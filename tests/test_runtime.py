@@ -398,3 +398,72 @@ def test_headposition_api_matches_oracle():
     finally:
         ht.events.default_bus.remove_event_listener(
             ht.events.HEADTRACKING, bus_events.append)
+
+
+def test_camera_source_with_stub_cv2(monkeypatch):
+    """CameraSource against a stubbed cv2: open, BGR->RGB read, end-of-stream,
+    release, and the open-failure -> 'no camera' contract
+    (src/main.js:123-135 equivalent)."""
+    import sys
+    import types
+
+    from headtrackr_tpu.runtime.video import CameraSource
+
+    class FakeCap:
+        def __init__(self, index):
+            self.index = index
+            self.released = False
+            self._frames = [np.arange(6, dtype=np.uint8).reshape(1, 2, 3)]
+
+        def isOpened(self):
+            return self.index == 0
+
+        def get(self, prop):
+            return {3: 2.0, 4: 1.0}[prop]  # width, height
+
+        def read(self):
+            if self._frames:
+                return True, self._frames.pop()
+            return False, None
+
+        def release(self):
+            self.released = True
+
+    fake = types.SimpleNamespace(VideoCapture=FakeCap,
+                                 CAP_PROP_FRAME_WIDTH=3,
+                                 CAP_PROP_FRAME_HEIGHT=4)
+    monkeypatch.setitem(sys.modules, "cv2", fake)
+
+    src = CameraSource()
+    assert (src.width, src.height) == (2, 1)
+    frame = src.read()                      # BGR (b,g,r)=(0,1,2) -> RGB
+    assert frame.shape == (1, 2, 3)
+    assert frame[0, 0].tolist() == [2, 1, 0]
+    assert src.read() is None               # stream end
+    src.stop()
+    assert src._cap.released
+
+    with pytest.raises(RuntimeError, match="no camera"):
+        CameraSource(index=7)               # device open failure
+
+
+def test_camera_source_without_cv2(monkeypatch):
+    """Missing OpenCV -> RuntimeError('no getUserMedia'), the status the
+    session maps to the reference's no-getUserMedia branch
+    (src/main.js:136-141)."""
+    import builtins
+    import sys
+
+    from headtrackr_tpu.runtime.video import CameraSource
+
+    monkeypatch.delitem(sys.modules, "cv2", raising=False)
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError("No module named 'cv2'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_cv2)
+    with pytest.raises(RuntimeError, match="no getUserMedia"):
+        CameraSource()
