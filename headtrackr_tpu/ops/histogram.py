@@ -153,12 +153,29 @@ def backprojection_pdf(bins, weights, exact=True):
     return pdf.reshape(bins.shape)
 
 
-def histogram_and_pdf(bins, model_hist, block=8192, exact=False):
+def _pick_block(P, cap=16384):
+    """Largest 128-multiple exact divisor of P up to ``cap`` (else 8192).
+
+    Padding the pixel axis is pure waste in the scan (measured on v5e at
+    256 streams: block 8192 pads 320x240's 76,800 px by 6.7% and costs
+    6.5 ms/tick; any exact divisor in 6400..15360 runs 5.5-5.8 ms/tick —
+    docs/PERFORMANCE.md).  320x240 -> 15360, 640x480 -> 15360,
+    160x120 -> 9600."""
+    if P % 128 == 0:
+        kmax = cap // 128
+        for k in range(min(kmax, P // 128), 0, -1):
+            if (P // 128) % k == 0:
+                return 128 * k
+    return 8192
+
+
+def histogram_and_pdf(bins, model_hist, block=None, exact=False):
     """Fused current-histogram + ratio weights + backprojection.
 
     Pixel axis is scanned in blocks so the transient one-hot factors stay
     ~block x 64 (a full-frame one-hot is ~40 MB/stream and OOMs HBM at serving
-    batch sizes).  Returns (cur_hist (4096,), pdf (H, W)).
+    batch sizes); block=None picks the largest exact-divisor block (padding
+    measurably slows the scan).  Returns (cur_hist (4096,), pdf (H, W)).
 
     exact: pdf is the full-f32 weight lookup on TPU too (conformance mode,
     TrackerConfig.exactCamshift); default trades bf16-rounded weights for
@@ -166,6 +183,8 @@ def histogram_and_pdf(bins, model_hist, block=8192, exact=False):
     shape = bins.shape
     flat = bins.reshape(-1)
     P = flat.shape[0]
+    if block is None:
+        block = _pick_block(P)
     nb = -(-P // block)
     pad = nb * block - P
     flat_p = jnp.pad(flat, (0, pad), constant_values=-1)  # -1 never matches iota

@@ -4,6 +4,10 @@ Questions: is the 0.03 GB/s per-byte bandwidth or per-call overhead?  Do
 parallel chunked transfers (threads) scale?  Does dtype/layout matter?
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import concurrent.futures as cf
 import sys
 import time

@@ -3,6 +3,10 @@
 Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/bench_histpdf.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

@@ -7,6 +7,10 @@ amortizes over N iterations).  Prints ms/tick for the 256-stream batch.
 Run:  python tools/bench_parts.py --streams 256 --iters 30
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

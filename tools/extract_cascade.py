@@ -17,6 +17,10 @@ the literal, validate its invariants, and pack it into padded int16/float32 arra
 Run:  python tools/extract_cascade.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import re
 import sys

@@ -9,6 +9,10 @@ Lessons so far (measured on the chip, see git history):
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/kernel_experiments.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -6,6 +6,10 @@ block_until_ready returns at enqueue on axon, so the host pull is the only
 honest sync.  Usage:  python tools/profile_chip.py  (axon env by default).
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 
