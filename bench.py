@@ -101,21 +101,15 @@ def main():
     scan_len = args.scan or args.pool
 
     import jax
-
-    # Persistent compilation cache: the serving programs take minutes to
-    # compile (remote compile on axon); repeat invocations with unchanged
-    # code hit the on-disk cache (keys are HLO fingerprints — safe).
-    # Verified to work with the axon TPU backend.  Opt out:
-    # HEADTRACKR_JAX_CACHE=off.
-    cache_dir = os.environ.get("HEADTRACKR_JAX_CACHE",
-                               "/root/.cache/headtrackr_jax")
-    if cache_dir and cache_dir != "off":
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
     import jax.numpy as jnp
 
     import headtrackr_tpu as ht
+
+    # Persistent compilation cache (works with the axon TPU backend);
+    # opt out with HEADTRACKR_JAX_CACHE=off.
+    cache_dir = os.environ.get("HEADTRACKR_JAX_CACHE",
+                               "/root/.cache/headtrackr_jax")
+    ht.enable_compilation_cache(None if cache_dir == "off" else cache_dir)
     from headtrackr_tpu.models import facetracker as ft
 
     H, W = 240, 320

@@ -44,6 +44,7 @@ from .runtime.fanout import (StreamFanout, IngestRing,  # noqa: E402
                              BatchedSession)
 from .runtime.video import (ClipSource, SyntheticFaceSource,  # noqa: E402
                             CameraSource)
+from .utils.profiling import enable_compilation_cache  # noqa: E402
 
 # The bundled model, like headtrackr.cascade (src/cascade.js:19).
 cascade = frontalface
