@@ -148,3 +148,26 @@ def test_exact_flag_identical_on_cpu(rng):
         for a, b in zip(jax.tree_util.tree_leaves(st_f),
                         jax.tree_util.tree_leaves(st_e)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pick_block_exact_divisors():
+    """block=None picks a 128-multiple EXACT divisor (padding measurably
+    slows the scan on TPU — docs/PERFORMANCE.md); awkward sizes fall back."""
+    for p, want in [(320 * 240, 15360), (640 * 480, 15360),
+                    (160 * 120, 9600), (64 * 48, 3072)]:
+        got = oh._pick_block(p)
+        assert got == want and p % got == 0
+    assert oh._pick_block(100) == 8192  # not 128-aligned: fallback
+
+
+def test_histogram_and_pdf_block_invariant(rng):
+    """Counts and pdf are identical for any block size (exactness is
+    block-independent; only the scan shape changes)."""
+    rgb = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    bins = oh.rgb_bins(jnp.asarray(rgb))
+    model = jnp.asarray(rng.random(4096, dtype=np.float32))
+    cur0, pdf0 = oh.histogram_and_pdf(bins, model)  # auto block (3072)
+    for blk in (512, 1024, 4096):
+        cur, pdf = oh.histogram_and_pdf(bins, model, block=blk)
+        np.testing.assert_array_equal(np.asarray(cur0), np.asarray(cur))
+        np.testing.assert_array_equal(np.asarray(pdf0), np.asarray(pdf))
