@@ -1,0 +1,178 @@
+"""On-hardware conformance: face-box IoU + camshift-window parity vs the oracle.
+
+Runs the REAL frontal-face pipeline on the current JAX backend (the axon TPU
+chip by default) over a synthetic 320x240 clip — still face for the WB/VJ
+lock, then a +-2 px/tick ping-pong pan — and compares every camshift frame
+against the f64 NumPy oracle (headtrackr_tpu.oracle): exact window matches,
+max |delta| in px, and face-rect IoU (the BASELINE gate is IoU >= 0.99).
+
+Both camshift precision modes are measured: fast (serving default; TPU's
+one-pass-bf16 matmuls may flip a JS truncation by 1 px occasionally) and
+exactCamshift (bit-faithful f32 camshift math, docs/PARITY.md deviation 11).
+On CPU both modes are identical to the oracle by construction (the golden
+test suite asserts it); this tool exists to demonstrate the same on the
+actual serving hardware.
+
+Run:  python tools/verify_chip.py [--frames 100]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+_BG = (120, 100, 90)
+
+
+def build_clip(n_track, noise=0):
+    """17 still frames (WB window + VJ lock) then a +-2 px/tick ping-pong pan.
+
+    noise=k adds deterministic uniform +-k LSB sensor noise.  k=0 is the
+    DEGENERATE case: pixel-identical content translated in exact 2 px steps
+    makes the camshift centroid land exactly on JS truncation boundaries,
+    where f32-vs-f64 rounding races decide the result (see docs/PARITY.md);
+    real camera input is never boundary-degenerate."""
+    import headtrackr_tpu  # noqa: F401  (path side effects only)
+    data = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "headtrackr_tpu", "data",
+                                "synthface.npz"))
+    rgb = data["rgb"]
+    fh, fw = rgb.shape[:2]
+    H, W = 240, 320
+    px, py = 96, 80
+
+    def fr(off):
+        f = np.full((H, W, 3), _BG, np.uint8)
+        f[py:py + fh, px + off:px + off + fw] = rgb
+        return f
+
+    half = n_track // 2
+    offs = [2 * t for t in range(half)] + \
+        [2 * (n_track - t) for t in range(half, n_track)]
+    clip = np.stack([fr(0)] * 17 + [fr(o) for o in offs])
+    if noise:
+        rng = np.random.default_rng(7)
+        d = rng.integers(-noise, noise + 1, clip.shape, dtype=np.int16)
+        clip = np.clip(clip.astype(np.int16) + d, 0, 255).astype(np.uint8)
+    return clip
+
+
+def iou(a, b):
+    """a, b: (cx, cy, w, h) center boxes."""
+    ax0, ay0 = a[0] - a[2] / 2, a[1] - a[3] / 2
+    bx0, by0 = b[0] - b[2] / 2, b[1] - b[3] / 2
+    ix = max(0.0, min(ax0 + a[2], bx0 + b[2]) - max(ax0, bx0))
+    iy = max(0.0, min(ay0 + a[3], by0 + b[3]) - max(ay0, by0))
+    inter = ix * iy
+    union = a[2] * a[3] + b[2] * b[3] - inter
+    return inter / union if union > 0 else (1.0 if inter == 0 else 0.0)
+
+
+def run_oracle(clip):
+    from headtrackr_tpu.cascade import frontalface
+    from headtrackr_tpu.oracle.pipeline import HeadTracker
+
+    o = HeadTracker(frontalface(), 320, 240, smoothing=False,
+                    head_position=False)
+    rows = []
+    for f in clip:
+        o.step(f)
+        t = dict(o.facetracker.cur_tracked)
+        rows.append((t["detection"], t["x"], t["y"], t["width"], t["height"]))
+    return rows
+
+
+def run_device(clip, exact):
+    import jax
+    import jax.numpy as jnp
+
+    import headtrackr_tpu as ht
+    from headtrackr_tpu.cascade import frontalface
+    from headtrackr_tpu.config import TrackerConfig
+    from headtrackr_tpu.models import facetracker as ft
+
+    ht.enable_compilation_cache(
+        os.environ.get("HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
+    cfg = TrackerConfig(smoothing=False, headPosition=False,
+                        exactCamshift=exact)
+    step = ft.make_step(frontalface(), cfg, (240, 320), "full")
+
+    @jax.jit
+    def scan_fn(state, frames):
+        def body(s, f):
+            s2, out = step(s, f)
+            return s2, (out.detection, out.face_x, out.face_y,
+                        out.face_w, out.face_h)
+        return jax.lax.scan(body, state, frames)
+
+    frames = jnp.asarray(clip)
+    t0 = time.time()
+    _, (det, x, y, w, h) = scan_fn(ft.init_state(cfg.whitebalancing), frames)
+    det = np.asarray(det)
+    print(f"#   device run ({'exact' if exact else 'fast'}): "
+          f"{time.time() - t0:.0f}s incl. compile", file=sys.stderr)
+    return list(zip(det.tolist(), np.asarray(x).tolist(),
+                    np.asarray(y).tolist(), np.asarray(w).tolist(),
+                    np.asarray(h).tolist()))
+
+
+def compare(tag, oracle_rows, dev_rows):
+    modes = {"WB": 0, "VJ": 1, "CS": 2}
+    n = exact_n = 0
+    worst = 0.0
+    ious = []
+    for t, (orow, drow) in enumerate(zip(oracle_rows, dev_rows)):
+        assert modes[orow[0]] == int(drow[0]), \
+            f"{tag}: mode diverged at frame {t}: {orow[0]} vs {drow[0]}"
+        if orow[0] != "CS":
+            continue
+        n += 1
+        ob, db = np.asarray(orow[1:], float), np.asarray(drow[1:], float)
+        d = np.abs(ob - db).max()
+        worst = max(worst, d)
+        exact_n += int(d == 0)
+        ious.append(iou(ob, db))
+    ious = np.asarray(ious)
+    print(f"{tag}: {n} camshift frames | exact windows {exact_n}/{n} | "
+          f"max |delta| {worst:.0f} px | IoU min {ious.min():.4f} "
+          f"mean {ious.mean():.4f}")
+    return float(ious.min()), float(ious.mean())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax
+    print(f"# backend: {jax.devices()}", file=sys.stderr)
+
+    results = {}
+    for label, noise in (("realistic (+-3 LSB sensor noise)", 3),
+                         ("degenerate (pixel-exact 2 px pan)", 0)):
+        clip = build_clip(args.frames, noise=noise)
+        print(f"# clip [{label}]: {len(clip)} frames 320x240, real 16-stage "
+              f"cascade", file=sys.stderr)
+        oracle_rows = run_oracle(clip)
+        print(f"--- {label}")
+        for exact in (False, True):
+            dev_rows = run_device(clip, exact)
+            tag = "exactCamshift" if exact else "fast  (default)"
+            results[(noise, exact)] = compare(tag, oracle_rows, dev_rows)
+
+    # Gate on realistic input: exactCamshift must be bit-perfect (IoU 1.0
+    # within fp tolerance), the fast serving mode within the BASELINE 0.99.
+    # The degenerate clip is reported as the documented worst case
+    # (f32-vs-f64 truncation races; docs/PARITY.md).
+    ok = results[(3, True)][0] >= 0.999 and results[(3, False)][1] >= 0.99
+    print(f"gate (realistic clip: exact bit-perfect, fast mean IoU >= 0.99): "
+          f"{'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
