@@ -53,13 +53,18 @@ class StreamFanout:
     plus a ``stream`` int field on every payload (batch extension).
     """
 
-    def __init__(self, n_streams, buses=None):
+    def __init__(self, n_streams, buses=None, hints_after_s=5.0):
+        """hints_after_s: per-stream 'hints' status after that many seconds
+        of VJ without a lock (src/main.js:188-194; None disables)."""
         if buses is not None and len(buses) != n_streams:
             raise ValueError("need one bus per stream")
         self.n = n_streams
         self.buses = list(buses) if buses is not None else \
             [ev.EventBus() for _ in range(n_streams)]
         self.status = [""] * n_streams  # last status string per stream
+        self.hints_after_s = hints_after_s
+        self._vj_since = [None] * n_streams
+        self._hints_sent = [False] * n_streams
 
     def bus(self, i):
         return self.buses[i]
@@ -78,11 +83,27 @@ class StreamFanout:
         host = jax.tree_util.tree_map(np.asarray, out)
         ids = range(self.n) if stream_ids is None else stream_ids
         count = 0
+        now = _time.time()
         for i in ids:
             b = self.buses[i]
             status = int(host.status[i])
-            if int(host.detection[i]) == ft.MODE_CS:
+            det = int(host.detection[i])
+            if det == ft.MODE_CS:
                 self.status[i] = "tracking"  # attribute only (src/main.js:227)
+                self._vj_since[i] = None
+                self._hints_sent[i] = False
+            elif det == ft.MODE_VJ and self.hints_after_s is not None:
+                # per-stream hints after 5 s of VJ without a lock
+                # (src/main.js:188-194; Tracker._emit equivalent)
+                if self._vj_since[i] is None:
+                    self._vj_since[i] = now
+                elif (not self._hints_sent[i]
+                      and now - self._vj_since[i] > self.hints_after_s):
+                    self._hints_sent[i] = True
+                    self.status[i] = "hints"
+                    b.dispatch_event(ev.STATUS, {"status": "hints",
+                                                 "stream": i})
+                    count += 1
             for bit, name in _STATUS_BITS:
                 if status & bit:
                     self.status[i] = name

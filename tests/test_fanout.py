@@ -158,3 +158,43 @@ def test_fanout_shared_buses_rejects_bad_length():
         StreamFanout(3, buses=[ht.events.EventBus()])
     with pytest.raises(ValueError):
         BatchedSession(2, sources=[np.zeros((1, H, W, 3), np.uint8)])
+
+
+def test_fanout_per_stream_hints(monkeypatch):
+    """Per-stream 'hints' after 5 s of VJ without a lock (src/main.js:188-194)
+    — one stream stalls in VJ, the other locks; clock injected."""
+    from headtrackr_tpu.models.facetracker import StepOutput
+    from headtrackr_tpu.runtime import fanout as fo
+
+    def out(dets):
+        z = np.zeros((2,), np.float32)
+        return StepOutput(
+            detection=np.asarray(dets, np.int32), wb=z,
+            face_x=z, face_y=z, face_w=z, face_h=z, face_angle=z,
+            face_conf=z, smooth_x=z, smooth_y=z, smooth_w=z, smooth_h=z,
+            head_valid=np.zeros((2,), bool), head_x=z, head_y=z, head_z=z,
+            status=np.zeros((2,), np.int32),
+            event_face=np.zeros((2,), bool), fov_deg=z,
+            mode_after=np.asarray(dets, np.int32))
+
+    clock = [1000.0]
+    monkeypatch.setattr(fo._time, "time", lambda: clock[0])
+    f = fo.StreamFanout(2)
+    logs = [[], []]
+    for i in (0, 1):
+        f.add_event_listener(i, ht.events.STATUS,
+                             lambda e, i=i: logs[i].append(e.status))
+
+    f.emit(out([1, 1]))            # both enter VJ: timers start
+    clock[0] += 6.0
+    f.emit(out([1, 2]))            # 6 s later: stream 0 still VJ, 1 locked
+    assert logs[0] == ["hints"] and f.status[0] == "hints"
+    assert "hints" not in logs[1] and f.status[1] == "tracking"
+    f.emit(out([1, 2]))            # hints fires once
+    assert logs[0] == ["hints"]
+    # a lock resets: stream 0 locks, loses, stalls again -> hints again
+    f.emit(out([2, 2]))
+    f.emit(out([1, 2]))
+    clock[0] += 6.0
+    f.emit(out([1, 2]))
+    assert logs[0] == ["hints", "hints"]
