@@ -53,7 +53,7 @@ class TrackerConfig:
                                        # prefix sums at Precision.HIGHEST,
                                        # ~35% camshift cost); False: weights
                                        # bf16-rounded inside the MXU dot —
-                                       # docs/PARITY.md deviation 11.  CPU is
+                                       # docs/PARITY.md deviation 10.  CPU is
                                        # identical either way.
 
     @property

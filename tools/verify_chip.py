@@ -8,7 +8,7 @@ max |delta| in px, and face-rect IoU (the BASELINE gate is IoU >= 0.99).
 
 Both camshift precision modes are measured: fast (serving default; TPU's
 one-pass-bf16 matmuls may flip a JS truncation by 1 px occasionally) and
-exactCamshift (bit-faithful f32 camshift math, docs/PARITY.md deviation 11).
+exactCamshift (bit-faithful f32 camshift math, docs/PARITY.md deviation 10).
 On CPU both modes are identical to the oracle by construction (the golden
 test suite asserts it); this tool exists to demonstrate the same on the
 actual serving hardware.
