@@ -198,3 +198,25 @@ def test_fanout_per_stream_hints(monkeypatch):
     clock[0] += 6.0
     f.emit(out([1, 2]))
     assert logs[0] == ["hints", "hints"]
+
+
+def test_batched_session_timer_thread():
+    """start()/stop() timer-thread mode (the reference's setTimeout loop,
+    src/main.js:328-345, batched): sources drain on the daemon thread and
+    events flush on stop."""
+    import time as _t
+
+    clips = [_clip(60, 50), _clip(50, 40)]
+    sess = BatchedSession(2, sources=clips, frame_shape=(H, W),
+                          cascade=ht.toy_cascade(), ui=False)
+    heads = []
+    sess.fanout.add_event_listener(0, ht.events.HEADTRACKING, heads.append)
+    sess.start(interval_ms=1)
+    deadline = _t.time() + 120
+    while sess.ticks < len(clips[0]) and _t.time() < deadline:
+        _t.sleep(0.05)
+    sess.stop()
+    assert sess.ticks == len(clips[0])
+    assert sess.fanout.status == ["tracking", "tracking"]
+    assert heads and hasattr(heads[-1], "z")
+    assert sess._thread is None  # joined

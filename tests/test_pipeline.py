@@ -148,3 +148,53 @@ def test_vmap_batch_independence():
     # streams 0 and 1 identical, stream 2 different position
     assert float(out.face_x[0]) == float(out.face_x[1])
     assert float(out.face_x[2]) != float(out.face_x[0])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_random_clips_match_oracle(seed):
+    """Seeded fuzz: random noise frames with a toy face appearing, moving,
+    vanishing at random — the full state machine (mode, statuses, face box,
+    head events) must track the oracle exactly on every frame."""
+    rng = np.random.default_rng(seed)
+    clip = []
+    face_on = False
+    cx, cy = 60, 50
+    for t in range(60):
+        # flat background, noise only inside the face: whole-frame noise
+        # makes the toy cascade emit equal-confidence NOISE candidates whose
+        # best-pick is a tie — ordering there is a documented deviation
+        # (docs/PARITY.md deviation 4), not a fuzz target
+        f = np.full((H, W, 3), 40, np.uint8)
+        if t == 12:
+            face_on = True            # appear after WB stabilizes
+        if face_on and rng.random() < 0.05:
+            face_on = False           # vanish (track loss)
+        elif not face_on and t > 14 and rng.random() < 0.3:
+            face_on = True
+            cx = int(rng.integers(25, W - 25))
+            cy = int(rng.integers(25, H - 25))
+        if face_on:
+            cx = int(np.clip(cx + rng.integers(-2, 3), 14, W - 14))
+            cy = int(np.clip(cy + rng.integers(-2, 3), 14, H - 14))
+            patch = np.asarray((230, 80, 60), np.int16) + \
+                rng.integers(-12, 13, (24, 24, 3))
+            f[cy - 12:cy + 12, cx - 12:cx + 12] = \
+                np.clip(patch, 0, 255).astype(np.uint8)
+        clip.append(f)
+
+    oracle, stat_j, rows = _run_both(clip, TrackerConfig())
+    assert oracle.statuses == stat_j
+    for t, (ro, out, _mode) in enumerate(rows):
+        assert MODES[ro["face"]["detection"]] == int(out.detection), (seed, t)
+        if ro["face"]["detection"] == "CS":
+            # oracle rows are post-smoothing (f64 EMA) -> compare the
+            # smoothed outputs with f32 tolerance
+            for k, v in zip(("x", "y", "width", "height"),
+                            (out.smooth_x, out.smooth_y,
+                             out.smooth_w, out.smooth_h)):
+                assert abs(float(ro["face"][k]) - float(v)) < 0.05, \
+                    (seed, t, k)
+        hp_o = ro["headpos"]
+        assert (hp_o is None) == (not bool(out.head_valid)), (seed, t)
+        if hp_o is not None:
+            assert abs(hp_o["z"] - float(out.head_z)) < 0.05, (seed, t)
