@@ -99,6 +99,13 @@ def main():
                          "frames every tick) on min(streams, 8) streams")
     args = ap.parse_args()
     scan_len = args.scan or args.pool
+    if scan_len % args.pool:
+        # run_scan repeats whole pool passes; a non-multiple scan length
+        # would run reps*pool ticks while counting scan_len (overstating
+        # throughput) and compile an unplanned K — round down instead.
+        scan_len = max(args.pool, (scan_len // args.pool) * args.pool)
+        print(f"# --scan rounded to {scan_len} (multiple of --pool)",
+              file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
@@ -146,9 +153,9 @@ def main():
     # Steady state (timed): scan chunks over the pool; faces move every tick,
     # loss-streams lose + redetect once per pass (detector in timed region).
     chunks = max(1, args.ticks // scan_len)
-    ticks = chunks * scan_len
-    reps = max(1, scan_len // args.pool)
+    reps = scan_len // args.pool
     seq = jnp.concatenate([pool] * reps) if reps > 1 else pool
+    ticks = chunks * int(seq.shape[0])  # derive from the actual dispatch shape
     out = bt.run_scan(seq)  # rotate once pre-timing (first losses/relocks)
     np.asarray(out.mode_after[-1])
     outs = []

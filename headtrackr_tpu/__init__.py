@@ -33,6 +33,7 @@ from .config import TrackerConfig
 #   headtrackr_tpu.controllers
 from . import ccv            # noqa: E402
 from . import camshift       # noqa: E402
+from . import facetrackr     # noqa: E402
 from . import headposition   # noqa: E402
 from . import controllers    # noqa: E402
 from .api import Smoother, getWhitebalance  # noqa: E402
@@ -51,7 +52,7 @@ cascade = frontalface
 
 __all__ = [
     "Cascade", "frontalface", "toy_cascade", "TrackerConfig",
-    "ccv", "camshift", "headposition", "controllers",
+    "ccv", "camshift", "facetrackr", "headposition", "controllers",
     "Smoother", "getWhitebalance", "Tracker", "Ui", "BatchedTracker",
     "StreamFanout", "IngestRing", "BatchedSession",
     "ClipSource", "SyntheticFaceSource", "CameraSource",

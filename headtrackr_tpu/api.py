@@ -76,6 +76,27 @@ class Smoother:
         pos.update(x=x, y=y, z=z, width=w, height=h)
         return pos
 
+    def predict(self, time=0):
+        """Extrapolated position (src/smoother.js:61-88).
+
+        Parity note: in the reference, ``sp2`` aliases ``sp`` and the
+        interpolation branch is dead code (wrong ``this``,
+        src/smoother.js:23,65), so ``predict(t)`` observably returns the
+        current smoothed position for any ``t`` — which is exactly what
+        mode="ema" reproduces here.  mode="desp" implements the live
+        (non-interpolating) branch faithfully: step = ``t/interval >> 0``,
+        ratio = alpha*step/(1-alpha), 2+ratio times sp minus 1+ratio times
+        sp2 (src/smoother.js:78-85)."""
+        if not self.initialized:
+            return False
+        sp = np.asarray(self._sp, np.float64)
+        sp2 = np.asarray(self._sp2, np.float64)
+        step = int(time / self.interval)  # JS ``>> 0`` truncation
+        ratio = (self.alpha * step) / (1.0 - self.alpha)
+        out = (2.0 + ratio) * sp - (1.0 + ratio) * sp2
+        x, y, z, w, h = out.tolist()
+        return dict(x=x, y=y, z=z, width=w, height=h)
+
 
 def _as_dict(pos):
     if isinstance(pos, dict):

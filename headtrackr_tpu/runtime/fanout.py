@@ -276,6 +276,13 @@ class BatchedSession:
         self._run = False
         if self._thread is not None:
             self._thread.join(timeout=10.0)
+            if self._thread.is_alive():
+                # join timed out: the loop thread may still be inside
+                # step_once/flush — a host-side flush here would race on
+                # _pending and could double- or tear-emit events.  The
+                # (daemon) thread flushes itself when it exits.
+                self._thread = None
+                return self
             self._thread = None
         self.flush()
         return self

@@ -207,22 +207,38 @@ class Tracker:
             if sleep > 0:
                 _time.sleep(sleep)
 
+    def _starter(self):
+        """starter() safety checks (src/main.js:307-326): re-poll every
+        100 ms INDEFINITELY until the source yields a non-blank frame
+        (whitebalance > 0) — the reference never gives up; ``stop()``
+        cancels the poll.  Returns the first good frame, or None if
+        stopped / source exhausted while still blank."""
+        while self._run:
+            frame = self._capture()
+            if frame is None:  # exhausted before ever going non-blank
+                return None
+            if float(np.mean(frame)) > 0:
+                return frame
+            _time.sleep(0.1)
+        return None
+
     def start(self):
-        """src/main.js:328-345 + starter() safety checks (:307-326)."""
+        """src/main.js:328-345: returns immediately; the starter poll and
+        the track loop run on the timer thread (the reference's setTimeout
+        chain is likewise asynchronous)."""
         if not self.initialized:
             return False
-        # starter: wait for a non-blank frame (whitebalance > 0)
-        deadline = _time.time() + 5.0
-        first = None
-        while _time.time() < deadline:
-            first = self._capture()
-            if first is not None and float(np.mean(first)) > 0:
-                break
-            _time.sleep(0.1)
         self._run = True
-        if first is not None:
-            self.step_once(first)
-        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+        def boot():
+            first = self._starter()
+            if first is not None and self._run:
+                self.step_once(first)
+                self._loop()
+            else:
+                self._run = False
+
+        self._thread = threading.Thread(target=boot, daemon=True)
         self._thread.start()
         return True
 
@@ -232,7 +248,7 @@ class Tracker:
         n = 0
         while max_frames is None or n < max_frames:
             out = self.step_once()
-            if out is None or not self._step:
+            if out is None:
                 break
             n += 1
             if self.status == "stopped":

@@ -72,6 +72,46 @@ def test_tracker_rejects_unknown_params():
         ht.Tracker(nonsense=True)
 
 
+def test_facetrackr_namespace_state_machine():
+    """Public ht.facetrackr.Tracker (src/facetrackr.js:37-130): WB -> VJ ->
+    CS transitions, facetrackingEvent emission, getTrackingObject clone."""
+    bus = ht.events.EventBus()
+    log = []
+    bus.add_event_listener(ht.events.FACETRACKING, log.append)
+    ftr = ht.facetrackr.Tracker(cascade=ht.toy_cascade(), bus=bus)
+    ftr.init(ClipSource(_clip()))
+    seen = []
+    for _ in range(24):
+        r = ftr.track()
+        seen.append(r.detection)
+    # 15-deep WB ring stabilizes -> one VJ frame -> CS thereafter
+    assert seen[:15] == ["WB"] * 15
+    assert "VJ" in seen and seen[-1] == "CS"
+    first_vj = seen.index("VJ")
+    assert seen[first_vj + 1] == "CS"  # handoff on first confident detect
+    obj = ftr.getTrackingObject()
+    assert obj.detection == "CS" and obj.confidence == 1
+    assert obj.width > 0 and obj.height > 0
+    assert obj is not ftr.getTrackingObject()  # clone semantics
+    assert len(log) >= 1 and log[0].detection == "CS"
+    assert hasattr(log[0], "time") and hasattr(log[0], "angle")
+    # no sendEvents -> no events; explicit-frame API works
+    ftr2 = ht.facetrackr.Tracker({"sendEvents": False, "whitebalancing": False},
+                                 cascade=ht.toy_cascade(), bus=bus)
+    ftr2.init()
+    n0 = len(log)
+    r = ftr2.track(_fr(60, 50))
+    assert r.detection == "VJ" and len(log) == n0
+    r = ftr2.track(_fr(60, 50))
+    assert r.detection == "CS" and len(log) == n0
+    assert ftr2.getBackProjectionImg().shape == (H, W, 3)
+
+
+def test_facetrackr_rejects_unknown_params():
+    with pytest.raises(TypeError):
+        ht.facetrackr.Tracker(nonsense=True)
+
+
 def test_batched_tracker_mixed_then_fast_path():
     bt = ht.BatchedTracker(4, frame_shape=(H, W), cascade=ht.toy_cascade())
 

@@ -20,6 +20,30 @@ def test_smoother_is_ema():
     assert abs(out["x"] - (0.35 * 20 + 0.65 * 10)) < 1e-12
 
 
+def test_smoother_predict_parity_and_desp():
+    """predict (src/smoother.js:61-88): with the reference's aliasing bug
+    (mode='ema') it returns the current smoothed position for ANY time;
+    mode='desp' extrapolates the trend."""
+    import headtrackr_tpu as ht
+    s = ht.Smoother(0.35, 35)
+    assert s.predict() is False  # uninitialized, like smooth()
+    s.init(dict(x=10.0, y=0.0, width=0.0, height=0.0))
+    s.smooth(dict(x=20.0, y=0.0, width=0.0, height=0.0))
+    cur = float(np.asarray(s._sp)[0])
+    for t in (0, 35, 200):
+        assert abs(s.predict(t)["x"] - cur) < 1e-6  # sp2 === sp => returns sp
+    d = ht.Smoother(0.35, 35, mode="desp")
+    d.init(dict(x=0.0, y=0.0, width=0.0, height=0.0))
+    for v in (10.0, 20.0, 30.0):
+        d.smooth(dict(x=v, y=0.0, width=0.0, height=0.0))
+    p0, p1 = d.predict(0)["x"], d.predict(70)["x"]
+    sp, sp2 = float(np.asarray(d._sp)[0]), float(np.asarray(d._sp2)[0])
+    assert abs(p0 - (2 * sp - sp2)) < 1e-6
+    ratio = 0.35 * 2 / 0.65  # step = 70/35 >> 0 = 2
+    assert abs(p1 - ((2 + ratio) * sp - (1 + ratio) * sp2)) < 1e-6
+    assert p1 > p0  # rising trend extrapolates upward
+
+
 def test_smoother_desp_mode_differs():
     s = Smoother(0.35, 35, mode="desp")
     s.init(dict(x=0.0, y=0.0, width=0.0, height=0.0))
