@@ -145,7 +145,9 @@ def main():
     for _ in range(16):
         bt.step_auto(pool[0])
     locked = (bt.modes == ft.MODE_CS).mean()
-    print(f"# lock: {16 * N} frames in {time.time() - t_l0:.1f}s, "
+    dt_l = time.time() - t_l0
+    print(f"# lock: {16 * N} frames in {dt_l:.1f}s "
+          f"({16 * N / dt_l:.0f} fps cold-start), "
           f"{100 * locked:.1f}% locked", file=sys.stderr)
     if locked < 0.99:
         print(f"# WARNING: only {100 * locked:.1f}% locked", file=sys.stderr)

@@ -20,10 +20,12 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.histogram import histogram_and_pdf, histogram_rect, rgb_bins
+from ..ops.histogram import (backprojection_weights, histogram_and_pdf,
+                             histogram_rect, histogram_scan, pdf_scan,
+                             rgb_bins)
 
 __all__ = ["CamshiftState", "init_state", "init_tracker", "track",
-           "mean_shift", "camshift_step"]
+           "track_band", "mean_shift", "camshift_step", "DEFAULT_BAND"]
 
 MEANSHIFT_ITERS = 10  # src/camshift.js:277
 
@@ -165,22 +167,36 @@ def _second_moments(pdf, wadx, wady, wadw, wadh):
     return m11, m20, m02
 
 
-def mean_shift(pdf, window, exact=False):
-    """<=10 mean-shift iterations (src/camshift.js:261-312).
+def _mean_shift_core(pdf, window, exact, ry, rx, H, W):
+    """<=10 mean-shift iterations (src/camshift.js:261-312) over a pdf that
+    covers frame rows [ry, ry+bh) x cols [rx, rx+bw) (full frame when
+    ry = rx = 0 and pdf.shape == (H, W)).
 
-    Returns (window', moments dict at the stopping iteration, zero_mass flag).
-    exact: full-f32 moment prefix sums on TPU (TrackerConfig.exactCamshift)."""
-    H, W = pdf.shape
+    All window arithmetic stays in FRAME coordinates (identical truncation
+    semantics); only the moment reductions translate into band coordinates.
+    Returns (window', moments, zero_mass, escaped) where escaped means some
+    iteration's clamped window left the band (band results invalid — the
+    caller must recompute full-frame; never True for a full-frame pdf)."""
+    bh, bw = pdf.shape
     planes = _marginal_planes(pdf, exact)
 
     def body(i, carry):
-        win, prevx, prevy, done, m, wad = carry
+        win, prevx, prevy, done, esc, m, wad = carry
         wadx = jnp.maximum(win[0], 0)
         wady = jnp.maximum(win[1], 0)
         wadw = jnp.minimum(wadx + win[2], W)
         wadh = jnp.minimum(wady + win[3], H)
-        m00, m10, m01 = _first_moments_marginal(planes, wadx, wady, wadw,
-                                                wadh, exact)
+        # band containment (trivially true for the full-frame pdf)
+        esc_now = ((wadx < rx) | (wady < ry) |
+                   (wadw > rx + bw) | (wadh > ry + bh))
+        # band-coordinate bounds; (xs - bx0) == (xs_frame - wadx), so the
+        # moment values are the window-relative ones of the frame formulation
+        bx0 = jnp.clip(wadx - rx, 0, bw)
+        by0 = jnp.clip(wady - ry, 0, bh)
+        bx1 = jnp.clip(wadw - rx, 0, bw)
+        by1 = jnp.clip(wadh - ry, 0, bh)
+        m00, m10, m01 = _first_moments_marginal(planes, bx0, by0, bx1, by1,
+                                                exact)
         nonzero = m00 > 0
         xc = jnp.where(nonzero, m10 / jnp.maximum(m00, 1e-30), jnp.nan)
         yc = jnp.where(nonzero, m01 / jnp.maximum(m00, 1e-30), jnp.nan)
@@ -190,7 +206,7 @@ def mean_shift(pdf, window, exact=False):
         newy = win[1] + dy
         fixed = (newx == prevx) & (newy == prevy)
         new_m = (m00, m10, m01)
-        new_wad = (wadx, wady, wadw, wadh)
+        new_wad = (bx0, by0, bx1, by1)
         # Freeze after done: keep previous window, moments and bounds.
         m_out = jax.tree_util.tree_map(
             lambda old, new: jnp.where(done, old, new), m, new_m)
@@ -199,13 +215,15 @@ def mean_shift(pdf, window, exact=False):
         win_out = jnp.where(done, win, win.at[0].set(newx).at[1].set(newy))
         prevx_out = jnp.where(done, prevx, newx)
         prevy_out = jnp.where(done, prevy, newy)
-        return win_out, prevx_out, prevy_out, done | fixed, m_out, wad_out
+        return (win_out, prevx_out, prevy_out, done | fixed,
+                esc | (esc_now & ~done), m_out, wad_out)
 
     zeros3 = tuple(jnp.float32(0.0) for _ in range(3))
     zi = jnp.int32(0)
-    init = (window, window[0], window[1], jnp.bool_(False), zeros3,
-            (zi, zi, zi, zi))
-    win, _, _, _, m, wad = jax.lax.fori_loop(0, MEANSHIFT_ITERS, body, init)
+    init = (window, window[0], window[1], jnp.bool_(False), jnp.bool_(False),
+            zeros3, (zi, zi, zi, zi))
+    win, _, _, _, esc, m, wad = jax.lax.fori_loop(0, MEANSHIFT_ITERS, body,
+                                                  init)
 
     win = win.at[0].set(jnp.clip(win[0], 0, W)).at[1].set(jnp.clip(win[1], 0, H))
     m00, m10, m01 = m
@@ -220,7 +238,18 @@ def mean_shift(pdf, window, exact=False):
                invM00=inv, xc=xc, yc=yc,
                mu20=m20 - m10 * xc, mu02=m02 - m01 * yc,
                mu11=m11 - m01 * xc)  # JS quirk: m01 * xc (src/camshift.js:118)
-    return win, mom, ~nonzero
+    return win, mom, ~nonzero, esc
+
+
+def mean_shift(pdf, window, exact=False):
+    """Full-frame mean-shift (src/camshift.js:261-312).
+
+    Returns (window', moments dict at the stopping iteration, zero_mass flag).
+    exact: full-f32 moment prefix sums on TPU (TrackerConfig.exactCamshift)."""
+    H, W = pdf.shape
+    zi = jnp.int32(0)
+    win, mom, zero_mass, _ = _mean_shift_core(pdf, window, exact, zi, zi, H, W)
+    return win, mom, zero_mass
 
 
 def _sqrt_shl2(v, bad):
@@ -230,17 +259,10 @@ def _sqrt_shl2(v, bad):
     return jnp.where(ok, jnp.trunc(r) * 4, 0.0).astype(jnp.int32)
 
 
-def track(state, frame_rgb, calc_angles=True, exact=False):
-    """One camshift frame step (src/camshift.js:213-259).  Returns new state.
-
-    exact: bit-faithful f32 camshift math on TPU (conformance mode; on CPU
-    both modes are identical) — see TrackerConfig.exactCamshift."""
-    H, W = frame_rgb.shape[0], frame_rgb.shape[1]
-    bins = rgb_bins(frame_rgb)
-    _, pdf = histogram_and_pdf(bins, state.model_hist, exact=exact)
-
-    win, m, zero_mass = mean_shift(pdf, state.window, exact)
-
+def _finish(state, win, m, zero_mass, calc_angles, H, W):
+    """Size/orientation from central moments + output box + 1.1x window
+    growth (src/camshift.js:230-258) — shared by the full-frame and
+    band-local track paths."""
     a = m["mu20"] * m["invM00"]
     c = m["mu02"] * m["invM00"]
     if calc_angles:
@@ -268,7 +290,67 @@ def track(state, frame_rgb, calc_angles=True, exact=False):
 
     return state._replace(window=win, track_x=tx, track_y=ty,
                           track_w=tw, track_h=th,
-                          track_angle=ang.astype(jnp.float32)), pdf
+                          track_angle=ang.astype(jnp.float32))
+
+
+def track(state, frame_rgb, calc_angles=True, exact=False):
+    """One camshift frame step (src/camshift.js:213-259).
+
+    Returns (new state, full-frame pdf — the debug/backprojection surface).
+    exact: bit-faithful f32 camshift math on TPU (conformance mode; on CPU
+    both modes are identical) — see TrackerConfig.exactCamshift."""
+    H, W = frame_rgb.shape[0], frame_rgb.shape[1]
+    bins = rgb_bins(frame_rgb)
+    _, pdf = histogram_and_pdf(bins, state.model_hist, exact=exact)
+    win, m, zero_mass = mean_shift(pdf, state.window, exact)
+    return _finish(state, win, m, zero_mass, calc_angles, H, W), pdf
+
+
+# Default band (rows, cols) for the band-local serving path at 240x320+:
+# covers search windows up to ~(112, 176) px with drift margin; bigger
+# windows (or trajectories reaching the band edge) raise ``escaped`` and the
+# serving scheduler recomputes those ticks full-frame (runtime/serving.py).
+DEFAULT_BAND = (128, 192)
+
+
+def track_band(state, frame_rgb, calc_angles=True, exact=False,
+               band=DEFAULT_BAND):
+    """Band-local camshift step: same math as ``track`` with the pdf lookup
+    and moment reductions restricted to an 8-aligned band around the search
+    window (the big steady-state cost cut — the full-frame pdf pass is most
+    of a serving tick, yet the moments only ever read the window).
+
+    Parity: the HISTOGRAM stays full-frame (the ratio weights depend on it,
+    src/camshift.js:268); the pdf is a pure per-pixel lookup, so band values
+    equal the full-frame values exactly.  Moment sums reduce over the same
+    pixels in a different f32 association — same accuracy class as the
+    full-frame marginals (docs/PARITY.md "first-moment accuracy").
+
+    Returns (new_state, escaped).  When ``escaped`` is True the window's
+    mean-shift trajectory left the band and new_state is INVALID — the
+    caller must rerun the full-frame ``track`` on the old state.
+    """
+    H, W = frame_rgb.shape[0], frame_rgb.shape[1]
+    bh = min(band[0], H)
+    bw = min(band[1], W)
+    bins = rgb_bins(frame_rgb)
+    cur = histogram_scan(bins)
+    weights = backprojection_weights(state.model_hist, cur)
+
+    # center the band on the clamped search window, 8-aligned (sublane/lane
+    # friendly dynamic_slice starts), clipped to the frame
+    win = state.window
+    cx = jnp.clip(win[0], 0, W) + win[2] // 2
+    cy = jnp.clip(win[1], 0, H) + win[3] // 2
+    rx = jnp.clip((cx - bw // 2) & ~7, 0, W - bw)
+    ry = jnp.clip((cy - bh // 2) & ~7, 0, H - bh)
+
+    band_bins = jax.lax.dynamic_slice(bins, (ry, rx), (bh, bw))
+    pdf_band = pdf_scan(band_bins, weights, exact=exact)
+    win2, m, zero_mass, escaped = _mean_shift_core(
+        pdf_band, state.window, exact, ry, rx, H, W)
+    new_state = _finish(state, win2, m, zero_mass, calc_angles, H, W)
+    return new_state, escaped
 
 
 def camshift_step(state, frame_rgb, calc_angles=True, exact=False):

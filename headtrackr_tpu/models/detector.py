@@ -94,8 +94,10 @@ class DetectorTables:
     out_y: np.ndarray            # (M,) f32
     out_w: np.ndarray            # (M,) f32
     out_h: np.ndarray            # (M,) f32
-    # Tile-compaction metadata:
-    n_tiles: int                 # total tiles across scales
+    # Tile-compaction metadata (uniform per-scale grid):
+    n_tiles: int                 # total tiles = n_scales * ntymax * ntxmax
+    ntymax: int                  # tile-grid rows (max over scales)
+    ntxmax: int                  # tile-grid cols
     tile_scale: np.ndarray       # (T,) i32
     tile_ty: np.ndarray          # (T,) i32 tile row in its scale's grid
     tile_tx: np.ndarray          # (T,) i32
@@ -156,26 +158,32 @@ def _tables_cached(w0, h0, interval, cascade_key):
            for k, v in meta.items()}
     M = cat["scale"].size
 
-    # Tile grid metadata.
-    t_scale, t_ty, t_tx = [], [], []
-    for s_idx, g in enumerate(geoms):
-        nty = -(-g.qh2 // TILE_Y)
-        ntx = -(-g.qw2 // TILE_X)
-        ty, tx = np.meshgrid(np.arange(nty), np.arange(ntx), indexing="ij")
-        t_scale.append(np.full(ty.size, s_idx, np.int32))
-        t_ty.append(ty.ravel().astype(np.int32))
-        t_tx.append(tx.ravel().astype(np.int32))
-    t_scale = np.concatenate(t_scale) if t_scale else np.zeros((0,), np.int32)
-    t_ty = np.concatenate(t_ty) if t_ty else np.zeros((0,), np.int32)
-    t_tx = np.concatenate(t_tx) if t_tx else np.zeros((0,), np.int32)
+    # Tile grid metadata: a UNIFORM (ntymax, ntxmax) grid per scale, so the
+    # stacked dense pass flattens to tile-major with one reshape/transpose.
+    # Out-of-grid tiles have zero surviving windows (in-grid mask) and never
+    # rank in the survivor-count top_k.
+    if geoms:
+        ntymax = max(-(-g.qh2 // TILE_Y) for g in geoms)
+        ntxmax = max(-(-g.qw2 // TILE_X) for g in geoms)
+        s_idx_g, ty, tx = np.meshgrid(np.arange(len(geoms)),
+                                      np.arange(ntymax), np.arange(ntxmax),
+                                      indexing="ij")
+        t_scale = s_idx_g.ravel().astype(np.int32)
+        t_ty = ty.ravel().astype(np.int32)
+        t_tx = tx.ravel().astype(np.int32)
+    else:
+        ntymax = ntxmax = 0
+        t_scale = np.zeros((0,), np.int32)
+        t_ty = np.zeros((0,), np.int32)
+        t_tx = np.zeros((0,), np.int32)
 
     return DetectorTables(
         spec=spec, geoms=tuple(geoms), M=M, flat_len=flat,
         win_scale=cat["scale"], win_y2=cat["y2"], win_x2=cat["x2"],
         out_x=cat["ox"], out_y=cat["oy"],
         out_w=cat["ow"], out_h=cat["oh"],
-        n_tiles=int(t_scale.size), tile_scale=t_scale, tile_ty=t_ty,
-        tile_tx=t_tx,
+        n_tiles=int(t_scale.size), ntymax=int(ntymax), ntxmax=int(ntxmax),
+        tile_scale=t_scale, tile_ty=t_ty, tile_tx=t_tx,
         geom_qh2=np.asarray([g.qh2 for g in geoms], np.int32),
         geom_qw2=np.asarray([g.qw2 for g in geoms], np.int32),
         geom_scale_x=np.asarray([g.scale_x for g in geoms], np.float32),
@@ -212,41 +220,56 @@ def _interleave_quarters(q0, q1, q2, q3):
     return A.transpose(2, 0, 3, 1).reshape(2 * H2, 2 * W2)
 
 
-def _slot_map(p0, p1, I, z, x, y, qh2, qw2):
-    """Value of feature pixel (x, y, z) for every window in the (qh2, qw2) grid."""
+def _slot_map_stacked(P0s, P1s, Is, z, x, y, qh2m, qw2m):
+    """Feature pixel (x, y, z) for EVERY window of EVERY scale at once:
+    one (S, qh2m, qw2m) strided slice of the padded plane stacks.  Feature
+    offsets are window-relative (scale-independent, src/ccv.js:161-177), so
+    stacking scales turns the per-scale Python loop of ~1,700 small slice
+    ops into ~80 large ones — the cold-start detect cost was op-dispatch
+    bound, not FLOP bound (out-of-grid padding is masked by the caller)."""
+    S = P0s.shape[0]
     if z == 0:
-        return jax.lax.slice(p0, (y, x), (y + 2 * qh2 - 1, x + 2 * qw2 - 1), (2, 2))
+        return jax.lax.slice(P0s, (0, y, x),
+                             (S, y + 2 * qh2m - 1, x + 2 * qw2m - 1),
+                             (1, 2, 2))
     if z == 1:
-        return jax.lax.slice(p1, (y, x), (y + qh2, x + qw2))
-    return jax.lax.slice(I, (2 * y, 2 * x), (2 * y + qh2, 2 * x + qw2))
+        return jax.lax.slice(P1s, (0, y, x), (S, y + qh2m, x + qw2m))
+    return jax.lax.slice(Is, (0, 2 * y, 2 * x),
+                         (S, 2 * y + qh2m, 2 * x + qw2m))
 
 
-def _dense_chunk(p0, p1, I, cascade_np, qh2, qw2, k_lo, k_hi, stages):
-    """Evaluate weak classifiers [k_lo, k_hi) densely; returns (alive, conf).
+def _dense_chunk_stacked(stacks, cascade_np, qh2m, qw2m, k_lo, k_hi, stages):
+    """Evaluate weak classifiers [k_lo, k_hi) densely over the scale stacks;
+    returns (alive, conf) of shape (S, qh2m, qw2m) — garbage in out-of-grid
+    padding, callers apply the per-scale in-grid mask.
 
     stages: list of (k0, k1, threshold) covering the range, applied in order.
     """
+    P0s, P1s, Is = stacks
     c = cascade_np
+    S = P0s.shape[0]
     votes = []
     for k in range(k_lo, k_hi):
         pmin = None
         nmax = None
         for f in range(5):
             if c["pz"][k, f] >= 0:
-                v = _slot_map(p0, p1, I, int(c["pz"][k, f]), int(c["px"][k, f]),
-                              int(c["py"][k, f]), qh2, qw2)
+                v = _slot_map_stacked(P0s, P1s, Is, int(c["pz"][k, f]),
+                                      int(c["px"][k, f]), int(c["py"][k, f]),
+                                      qh2m, qw2m)
                 pmin = v if pmin is None else jnp.minimum(pmin, v)
             if c["nz"][k, f] >= 0:
-                v = _slot_map(p0, p1, I, int(c["nz"][k, f]), int(c["nx"][k, f]),
-                              int(c["ny"][k, f]), qh2, qw2)
+                v = _slot_map_stacked(P0s, P1s, Is, int(c["nz"][k, f]),
+                                      int(c["nx"][k, f]), int(c["ny"][k, f]),
+                                      qh2m, qw2m)
                 nmax = v if nmax is None else jnp.maximum(nmax, v)
         passed = pmin > nmax
         votes.append(jnp.where(passed, np.float32(c["alpha"][k, 1]),
                                np.float32(c["alpha"][k, 0])))
-    alive = jnp.ones((qh2, qw2), bool)
-    conf = jnp.zeros((qh2, qw2), jnp.float32)
+    alive = jnp.ones((S, qh2m, qw2m), bool)
+    conf = jnp.zeros((S, qh2m, qw2m), jnp.float32)
     for (k0, k1, thr) in stages:
-        ssum = jnp.zeros((qh2, qw2), jnp.float32)
+        ssum = jnp.zeros((S, qh2m, qw2m), jnp.float32)
         for k in range(k0, k1):
             ssum = ssum + votes[k - k_lo]
         # conf = the LAST-EVALUATED stage's sum: a window dead after stage s
@@ -255,6 +278,17 @@ def _dense_chunk(p0, p1, I, cascade_np, qh2, qw2, k_lo, k_hi, stages):
         conf = jnp.where(alive, ssum, conf)
         alive = alive & (ssum >= np.float32(thr))
     return alive, conf
+
+
+def _tile_flatten_stacked(arr, ntymax, ntxmax, fill):
+    """(S, qh2m, qw2m) stacked window-grid array -> (S*ntymax*ntxmax,
+    TILE_WINDOWS) tile-major (scale, tile-row, tile-col ordering — matches
+    tables.tile_scale/tile_ty/tile_tx)."""
+    S, qh2m, qw2m = arr.shape
+    a = jnp.pad(arr, ((0, 0), (0, ntymax * TILE_Y - qh2m),
+                      (0, ntxmax * TILE_X - qw2m)), constant_values=fill)
+    a = a.reshape(S, ntymax, TILE_Y, ntxmax, TILE_X).transpose(0, 1, 3, 2, 4)
+    return a.reshape(S * ntymax * ntxmax, TILE_WINDOWS)
 
 
 # --------------------------------------------------------------------------
@@ -306,17 +340,19 @@ def _selection_mats(cascade_key, k_lo, k_hi):
 def _tile_stacks(pyr, tables):
     """Pad each active scale's (plane0, plane1, interleaved-quarter) into three
     uniform stacks with tile-block margins so tile blocks extract with one
-    aligned dynamic_slice each."""
+    aligned dynamic_slice each.  The same stacks back the stacked dense
+    chunk-A pass (_dense_chunk_stacked): one strided slice over the stack
+    reads a feature pixel for EVERY window of EVERY scale (feature offsets
+    are scale-independent)."""
     next_ = tables.spec.next
-    dims = dict(tables.spec.dims)
-    nty = [-(-g.qh2 // TILE_Y) for g in tables.geoms]
-    ntx = [-(-g.qw2 // TILE_X) for g in tables.geoms]
-    h0m = max(2 * TILE_Y * t + B0_SHAPE[0] for t in nty)
-    w0m = max(2 * TILE_X * t + B0_SHAPE[1] for t in ntx)
-    h1m = max(TILE_Y * t + B1_SHAPE[0] for t in nty)
-    w1m = max(TILE_X * t + B1_SHAPE[1] for t in ntx)
-    hIm = max(TILE_Y * t + BI_SHAPE[0] for t in nty)
-    wIm = max(TILE_X * t + BI_SHAPE[1] for t in ntx)
+    nty = tables.ntymax
+    ntx = tables.ntxmax
+    h0m = 2 * TILE_Y * nty + B0_SHAPE[0]
+    w0m = 2 * TILE_X * ntx + B0_SHAPE[1]
+    h1m = TILE_Y * nty + B1_SHAPE[0]
+    w1m = TILE_X * ntx + B1_SHAPE[1]
+    hIm = TILE_Y * nty + BI_SHAPE[0]
+    wIm = TILE_X * ntx + BI_SHAPE[1]
 
     def pad_to(a, h, w):
         return jnp.pad(a, ((0, h - a.shape[0]), (0, w - a.shape[1])))
@@ -331,14 +367,6 @@ def _tile_stacks(pyr, tables):
             pyr[(i + 2 * next_) * 4 + 2], pyr[(i + 2 * next_) * 4 + 3]),
             hIm, wIm))
     return jnp.stack(p0s), jnp.stack(p1s), jnp.stack(iis)
-
-
-def _tile_flatten(arr, qh2, qw2, nty, ntx, fill):
-    """(qh2, qw2) window-grid array -> (nty*ntx, TILE_WINDOWS) tile-major."""
-    a = jnp.pad(arr, ((0, nty * TILE_Y - qh2), (0, ntx * TILE_X - qw2)),
-                constant_values=fill)
-    a = a.reshape(nty, TILE_Y, ntx, TILE_X).transpose(0, 2, 1, 3)
-    return a.reshape(nty * ntx, TILE_WINDOWS)
 
 
 def _extract_tile_blocks(stacks, tscale, ty, tx):
@@ -541,42 +569,34 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
     b_end = min(CHUNK_B_END, S)
     cum = np.concatenate([[0], np.cumsum(c["stage_counts"])])
 
-    pyr, spec = build_pyramid(gray, interval)
-    next_ = spec.next
-
-    alive_flat = []
-    conf_flat = []
-    t_alive = []
-    t_conf = []
-    for s_idx, g in enumerate(tables.geoms):
-        i = g.level
-        p0 = pyr[i * 4]
-        p1 = pyr[(i + next_) * 4]
-        I = _interleave_quarters(pyr[(i + 2 * next_) * 4 + 0],
-                                 pyr[(i + 2 * next_) * 4 + 1],
-                                 pyr[(i + 2 * next_) * 4 + 2],
-                                 pyr[(i + 2 * next_) * 4 + 3])
-        alive, conf = _dense_chunk(p0, p1, I, c, g.qh2, g.qw2,
-                                   0, int(cum[a_end]),
-                                   _stage_ranges(cascade, 0, a_end))
-        alive_flat.append(alive.reshape(-1))
-        conf_flat.append(conf.reshape(-1))
-        nty = -(-g.qh2 // TILE_Y)
-        ntx = -(-g.qw2 // TILE_X)
-        t_alive.append(_tile_flatten(alive, g.qh2, g.qw2, nty, ntx, False))
-        t_conf.append(_tile_flatten(conf, g.qh2, g.qw2, nty, ntx, 0.0))
-
-    if not alive_flat:  # image too small for any window
+    if not tables.geoms:  # image too small for any window
         z = jnp.zeros((k_cand,), jnp.float32)
         return dict(x=z, y=z, width=z, height=z, confidence=z,
                     valid=jnp.zeros((k_cand,), bool), overflow=jnp.int32(0))
 
+    pyr, spec = build_pyramid(gray, interval)
     key = _cascade_digest(cascade)
+
+    # ---- chunk A: stages [0, a_end) densely for ALL scales at once ------
+    stacks = _tile_stacks(pyr, tables)
+    qh2m = max(g.qh2 for g in tables.geoms)
+    qw2m = max(g.qw2 for g in tables.geoms)
+    alive_s, conf_s = _dense_chunk_stacked(stacks, c, qh2m, qw2m,
+                                           0, int(cum[a_end]),
+                                           _stage_ranges(cascade, 0, a_end))
+    S_n = len(tables.geoms)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (S_n, qh2m, qw2m), 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (S_n, qh2m, qw2m), 2)
+    in_grid_s = ((iy < jnp.asarray(tables.geom_qh2)[:, None, None]) &
+                 (ix < jnp.asarray(tables.geom_qw2)[:, None, None]))
+    alive_s = alive_s & in_grid_s
 
     if a_end < S:
         # ---- tile compaction --------------------------------------------
-        talive = jnp.concatenate(t_alive)         # (T_all, 160) bool
-        tconf = jnp.concatenate(t_conf)           # (T_all, 160) f32
+        talive = _tile_flatten_stacked(alive_s, tables.ntymax,
+                                       tables.ntxmax, False)  # (T_all, 160)
+        tconf = _tile_flatten_stacked(conf_s, tables.ntymax,
+                                      tables.ntxmax, 0.0)
         k_tiles = int(np.clip(-(-k1 // TILE_WINDOWS), 8, 512))
         k_tiles = min(k_tiles, tables.n_tiles)
         # Rank tiles by surviving-window count (a real face densely activates
@@ -598,7 +618,6 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
         ty = jnp.asarray(tables.tile_ty)[tsafe]
         tx = jnp.asarray(tables.tile_tx)[tsafe]
 
-        stacks = _tile_stacks(pyr, tables)
         b0, b1, bi = _extract_tile_blocks(stacks, tscale, ty, tx)
         patches_t = _tile_patches(b0, b1, bi)     # (768, k_tiles*160) bf16
         W_ = k_tiles * TILE_WINDOWS
@@ -663,8 +682,12 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
         )
 
     # ---- single-chunk cascades (e.g. toy models): no deep stages ---------
-    alive_all = jnp.concatenate(alive_flat)
-    conf_all = jnp.concatenate(conf_flat)
+    # unpack the stacked grids back to the per-window table ordering
+    # (scale-major, then row-major within each scale's real grid)
+    alive_all = jnp.concatenate([alive_s[s, :g.qh2, :g.qw2].reshape(-1)
+                                 for s, g in enumerate(tables.geoms)])
+    conf_all = jnp.concatenate([conf_s[s, :g.qh2, :g.qw2].reshape(-1)
+                                for s, g in enumerate(tables.geoms)])
     idx1, n1 = compact_indices(alive_all, k_cand)
     cvalid = idx1 < tables.M
     wsafe = jnp.minimum(idx1, tables.M - 1)

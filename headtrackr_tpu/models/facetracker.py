@@ -58,6 +58,11 @@ class TrackerState(NamedTuple):
     fov_width: jnp.ndarray       # f32 radians (cached across re-inits)
     head_diag_cam: jnp.ndarray   # f32 (stateful edge-correction diagonal)
     stopped: jnp.ndarray         # bool
+    pend_age: jnp.ndarray        # i32 scheduler wait counter: ticks this
+                                 # stream has pended (non-CS) without being
+                                 # served by the device scheduler's bucket
+                                 # (runtime/serving.py auto_step; always 0
+                                 # outside overload="rotate" operation)
 
 
 class StepOutput(NamedTuple):
@@ -94,7 +99,7 @@ def init_state(whitebalancing=True):
         diag_ring=jnp.zeros((DIAG_LENGTH,), f32), diag_n=jnp.int32(0),
         headpose_active=jnp.bool_(False),
         tan_fov=f32(0.0), fov_width=f32(0.0), head_diag_cam=f32(0.0),
-        stopped=jnp.bool_(False),
+        stopped=jnp.bool_(False), pend_age=jnp.int32(0),
     )
 
 
@@ -114,7 +119,7 @@ def _empty_result():
 
 
 def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
-              with_pdf=False):
+              with_pdf=False, band=None):
     """Build the per-frame step fn for a static (cascade, config, H, W).
 
     step(state, frame_rgb_u8) -> (state', StepOutput).  jit/vmap-able.
@@ -128,7 +133,14 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         ((H, W) f32; zeros on non-CS frames) as a third output — the debug
         surface (src/facetrackr.js:194-196).  Costs one extra (H, W) buffer;
         used by Tracker(debug=True), not by serving.
+    band=(bh, bw): band-local camshift (models/camshift.track_band) — only
+        with variant="track" and with_pdf=False.  The step then returns
+        (state', StepOutput, escaped) where escaped marks streams whose
+        results are invalid (window left the band); the serving scheduler
+        recomputes those with the full-frame track program.
     """
+    if band is not None and (variant != "track" or with_pdf):
+        raise ValueError("band requires variant='track' without with_pdf")
     H, W = frame_shape
     f32 = jnp.float32
 
@@ -179,15 +191,29 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         st, res, _ = cs_branch(state, frame)
         return st, res
 
+    def cs_branch_band(state, frame):
+        new_cs, escaped = cs.track_band(state.cs, frame, config.calcAngles,
+                                        config.exactCamshift, band)
+        res = _Result(x=new_cs.track_x.astype(f32), y=new_cs.track_y.astype(f32),
+                      w=new_cs.track_w.astype(f32), h=new_cs.track_h.astype(f32),
+                      angle=new_cs.track_angle.astype(f32), conf=f32(1.0),
+                      wb=f32(0))
+        return state._replace(cs=new_cs), res, escaped
+
     def full_step(state, frame):
         entry_mode = state.mode
         pdf = None
+        escaped = None
         if variant == "track":
             # camshift for CS streams; freeze (no-op) for WB/VJ streams so the
             # serving scheduler may dispatch this with a one-tick-stale mode
             # vector (a non-CS stream just stalls until the full step runs)
             is_cs = entry_mode == MODE_CS
-            new_state, res, pdf = cs_branch(state, frame)
+            if band is not None:
+                new_state, res, escaped = cs_branch_band(state, frame)
+                escaped = escaped & is_cs  # frozen streams can't escape
+            else:
+                new_state, res, pdf = cs_branch(state, frame)
             state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(is_cs, new, old), new_state, state)
             res = res._replace(conf=jnp.where(is_cs, res.conf, f32(0.0)))
@@ -308,6 +334,8 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
             fov_width=fov_width, head_diag_cam=head_diag_cam, stopped=stopped)
         if with_pdf:
             return new_state, out, pdf
+        if band is not None:
+            return new_state, out, escaped
         return new_state, out
 
     return full_step

@@ -38,7 +38,8 @@ import numpy as np
 
 __all__ = ["rgb_bins", "histogram_4096", "histogram_rect",
            "backprojection_weights", "backprojection_pdf",
-           "histogram_and_pdf", "split_bf16_3"]
+           "histogram_and_pdf", "histogram_scan", "pdf_scan",
+           "split_bf16_3"]
 
 NBINS = 4096
 _HI = 64
@@ -167,6 +168,48 @@ def _pick_block(P, cap=16384):
             if (P // 128) % k == 0:
                 return 128 * k
     return 8192
+
+
+def _blocked(flat, block):
+    """(P,) i32 -> (nb, block) with -1 padding (never matches the iota)."""
+    P = flat.shape[0]
+    nb = -(-P // block)
+    pad = nb * block - P
+    return jnp.pad(flat, (0, pad), constant_values=-1).reshape(nb, block)
+
+
+def histogram_scan(bins, block=None):
+    """Full-frame 4096-bin histogram via the blocked int8 one-hot MXU scan
+    (exact counts; the hist half of histogram_and_pdf)."""
+    flat = bins.reshape(-1)
+    blocks = _blocked(flat, block or _pick_block(flat.shape[0]))
+
+    def body(acc, blk):
+        oh_hi, oh_lo = _one_hots(blk, dtype=jnp.int8)
+        h = jax.lax.dot_general(oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return acc + h, None
+
+    hist64, _ = jax.lax.scan(body, jnp.zeros((_HI, _LO), jnp.int32), blocks)
+    return hist64.reshape(NBINS).astype(jnp.float32)
+
+
+def pdf_scan(bins, weights, block=None, exact=False):
+    """(..., ) i32 bins + (4096,) f32 weights -> same-shape f32 pdf, computed
+    in fusion-friendly blocks (the pdf half of histogram_and_pdf; used by the
+    band-local camshift path where the histogram covers the full frame but
+    the lookup only a window region)."""
+    shape = bins.shape
+    flat = bins.reshape(-1)
+    P = flat.shape[0]
+    blocks = _blocked(flat, block or _pick_block(P))
+    Wm = weights.reshape(_HI, _LO)
+
+    def body(_, blk):
+        return None, _pdf_rows(blk, Wm, exact)
+
+    _, pdf = jax.lax.scan(body, None, blocks)
+    return pdf.reshape(-1)[:P].reshape(shape)
 
 
 def histogram_and_pdf(bins, model_hist, block=None, exact=False):

@@ -87,11 +87,17 @@ def detect_at_scale(p0, p1, p2, cascade, dx, dy):
     return flat_alive.reshape(qh, qw), conf_flat.reshape(qh, qw)
 
 
-def dense_scores(gray, cascade, interval=5):
+def dense_scores(gray, cascade, interval=5, pyramid=None):
     """All surviving raw windows before grouping, in JS seq order
     (scale -> phase -> y -> x).  Each: dict(x, y, width, height, neighbor, confidence).
-    src/ccv.js:154-246."""
-    pyr, scale, scale_upto, next_ = build_pyramid(gray, interval)
+    src/ccv.js:154-246.
+
+    pyramid: optional prebuilt (pyr, scale, scale_upto, next_) tuple — used by
+    tools/resampler_sensitivity.py to feed resampler variants through the
+    same detector (the browser's drawImage interpolation is unspecified,
+    src/ccv.js:121-146; see docs/PARITY.md deviation 2)."""
+    pyr, scale, scale_upto, next_ = (pyramid if pyramid is not None
+                                     else build_pyramid(gray, interval))
     dxs = [0, 1, 0, 1]
     dys = [0, 0, 1, 1]
     seq = []
@@ -176,13 +182,13 @@ def _group_predicate(r1, r2):
             int(np.floor(r2["width"] * 1.5 + 0.5)) >= r1["width"])
 
 
-def detect_objects(gray, cascade, interval=5, min_neighbors=1):
+def detect_objects(gray, cascade, interval=5, min_neighbors=1, pyramid=None):
     """Full detector: dense scan + grouping + containment filter.
 
     Mirrors src/ccv.js:109-333.  Returns a list of dicts with keys
     x, y, width, height, neighbors, confidence (floats).
     """
-    seq = dense_scores(gray, cascade, interval)
+    seq = dense_scores(gray, cascade, interval, pyramid=pyramid)
     if not min_neighbors > 0:
         return seq
 

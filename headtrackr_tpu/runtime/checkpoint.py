@@ -25,6 +25,11 @@ __all__ = ["save_state", "load_state", "save_tracker", "load_tracker"]
 
 FORMAT_VERSION = 2
 
+# Leaves addable without breaking old checkpoints: absent paths default to
+# zeros of the template leaf (state/pend_age is ephemeral scheduler state —
+# a resumed tracker just restarts its wait counters).
+_OPTIONAL_PATHS = {"state/pend_age"}
+
 
 def _keyed_leaves(state):
     """[(path_string, leaf)] in tree order."""
@@ -61,7 +66,7 @@ def _load(path, like):
         return jax.tree_util.tree_unflatten(treedef, leaves), d
     want = _keyed_leaves(like)
     have = set(np.asarray(d["__paths__"]).tolist())
-    missing = [k for k, _ in want if k not in have]
+    missing = [k for k, _ in want if k not in have and k not in _OPTIONAL_PATHS]
     extra = have - {k for k, _ in want}
     if missing or extra:
         raise ValueError(
@@ -69,6 +74,10 @@ def _load(path, like):
             f"unknown {sorted(extra)}")
     leaves = []
     for k, tmpl in want:
+        if k not in have:  # optional leaf absent in an older checkpoint
+            leaves.append(jnp.zeros(np.shape(tmpl),
+                                    np.asarray(tmpl).dtype))
+            continue
         v = d[k]
         tshape = tuple(np.shape(tmpl))
         if tuple(v.shape) != tshape:

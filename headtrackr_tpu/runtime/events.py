@@ -25,8 +25,8 @@ class Event:
 
     def __init__(self, type_, payload=None):
         self.type = type_
-        for k, v in (payload or {}).items():
-            setattr(self, k, v)
+        if payload:
+            self.__dict__.update(payload)
 
     def __repr__(self):
         fields = {k: v for k, v in self.__dict__.items() if k != "type"}
@@ -34,27 +34,32 @@ class Event:
 
 
 class EventBus:
+    """Listener lists are copy-on-write tuples: mutation takes the lock and
+    swaps in a new tuple, so the dispatch hot path (hundreds of calls per
+    serving tick, tools/bench_emit.py) reads lock-free."""
+
     def __init__(self):
-        self._listeners = {}
+        self._listeners = {}  # type -> tuple of callbacks (copy-on-write)
         self._lock = threading.Lock()
 
     def add_event_listener(self, type_, callback):
         with self._lock:
-            self._listeners.setdefault(type_, []).append(callback)
+            self._listeners[type_] = \
+                self._listeners.get(type_, ()) + (callback,)
         return callback
 
     def remove_event_listener(self, type_, callback):
         with self._lock:
+            cur = list(self._listeners.get(type_, ()))
             try:
-                self._listeners.get(type_, []).remove(callback)
+                cur.remove(callback)
+                self._listeners[type_] = tuple(cur)
             except ValueError:
                 pass
 
     def dispatch_event(self, type_, payload=None):
         ev = payload if isinstance(payload, Event) else Event(type_, payload)
-        with self._lock:
-            listeners = list(self._listeners.get(type_, []))
-        for cb in listeners:
+        for cb in self._listeners.get(type_, ()):  # atomic dict read, COW
             cb(ev)
         return ev
 

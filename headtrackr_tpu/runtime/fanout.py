@@ -84,10 +84,22 @@ class StreamFanout:
         ids = range(self.n) if stream_ids is None else stream_ids
         count = 0
         now = _time.time()
+        # One C-speed list conversion per field: per-element np scalar ->
+        # float() in the stream loop measurably dominates emit at 256
+        # streams (tools/bench_emit.py; docs/PERFORMANCE.md).
+        status_l = host.status.tolist()
+        det_l = host.detection.tolist()
+        event_face_l = host.event_face.tolist()
+        head_valid_l = host.head_valid.tolist()
+        face = (host.face_h.tolist(), host.face_w.tolist(),
+                host.face_angle.tolist(), host.face_x.tolist(),
+                host.face_y.tolist(), host.face_conf.tolist())
+        head = (host.head_x.tolist(), host.head_y.tolist(),
+                host.head_z.tolist())
         for i in ids:
             b = self.buses[i]
-            status = int(host.status[i])
-            det = int(host.detection[i])
+            status = status_l[i]
+            det = det_l[i]
             if det == ft.MODE_CS:
                 self.status[i] = "tracking"  # attribute only (src/main.js:227)
                 self._vj_since[i] = None
@@ -109,20 +121,19 @@ class StreamFanout:
                     self.status[i] = name
                     b.dispatch_event(ev.STATUS, {"status": name, "stream": i})
                     count += 1
-            if bool(host.event_face[i]):
+            if event_face_l[i]:
                 b.dispatch_event(ev.FACETRACKING, {
-                    "height": float(host.face_h[i]),
-                    "width": float(host.face_w[i]),
-                    "angle": float(host.face_angle[i]),
-                    "x": float(host.face_x[i]), "y": float(host.face_y[i]),
-                    "confidence": float(host.face_conf[i]),
+                    "height": face[0][i], "width": face[1][i],
+                    "angle": face[2][i],
+                    "x": face[3][i], "y": face[4][i],
+                    "confidence": face[5][i],
                     "detection": "CS", "time": time_ms, "stream": i,
                 })
                 count += 1
-            if bool(host.head_valid[i]):
+            if head_valid_l[i]:
                 b.dispatch_event(ev.HEADTRACKING, {
-                    "x": float(host.head_x[i]), "y": float(host.head_y[i]),
-                    "z": float(host.head_z[i]), "stream": i,
+                    "x": head[0][i], "y": head[1][i],
+                    "z": head[2][i], "stream": i,
                 })
                 count += 1
         return count

@@ -36,14 +36,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cascade import frontalface
 from ..config import TrackerConfig
+from ..models import camshift as cs_mod
 from ..models import facetracker as ft
 
 __all__ = ["BatchedTracker", "make_batched_steps"]
 
 
 def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
-                       bucket=32):
+                       bucket=32, band="auto", overload="full"):
     """Returns (step_full, step_track, step_bucket, step_auto, step_scan).
+
+    overload: device-scheduler policy when more than 4*bucket streams pend
+    on one tick — "full" (default) runs the full step for the whole batch
+    (one slow tick, every stream served: fastest cold start); "rotate"
+    serves the 4*bucket OLDEST pending streams (bounded tick cost for
+    latency-sensitive serving; pend_age makes the rotation FIFO, max wait
+    ceil(npend / (4*bucket)) ticks).
 
     step_bucket(state, frames, idx) runs the camshift fast path for ALL
     streams plus the full WB/VJ machinery for the <= ``bucket`` streams named
@@ -56,15 +64,51 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
     vector, zero scheduling staleness.  step_scan(state, frames_seq) scans
     step_auto over a (K, N, H, W, 3) tick sequence in one dispatch.
 
+    band: camshift band-local tracking (models/camshift.track_band) — the pdf
+    lookup + moment reductions run on a (bh, bw) band around each stream's
+    search window instead of the full frame (the histogram stays full-frame
+    for parity).  "auto" = DEFAULT_BAND when smaller than the frame, else
+    full-frame; None disables.  Escaped streams (window left its band —
+    rare) are recomputed with the full-frame track program under one
+    batch-level lax.cond, so results are ALWAYS full-frame-equal.
+
     With a mesh, state and frames are sharded over the leading (stream) axis on
     mesh axis 'streams'; XLA partitions full/track/bucket SPMD over ICI with no
     collectives in the hot path, and auto/scan run under shard_map with
-    per-device scheduling (bucket per device).
+    per-device scheduling (bucket per device, per-shard escape cond).
     """
+    if band == "auto":
+        band = cs_mod.DEFAULT_BAND
+    if band is not None and (band[0] >= frame_shape[0]
+                             and band[1] >= frame_shape[1]):
+        band = None  # band covers the frame: identical math, skip the cond
     full1 = ft.make_step(cascade, config, frame_shape, "full")
     track1 = ft.make_step(cascade, config, frame_shape, "track")
     full = jax.vmap(full1)
-    track = jax.vmap(track1)
+    track_plain = jax.vmap(track1)
+    if band is None:
+        track = track_plain
+    else:
+        track_band = jax.vmap(
+            ft.make_step(cascade, config, frame_shape, "track", band=band))
+
+        def track(state, frames):
+            st1, out1, esc = track_band(state, frames)
+
+            def fallback(_):
+                # recompute escaped streams full-frame from the PRE-track
+                # state (band results for them are invalid)
+                st2, out2 = track_plain(state, frames)
+
+                def pick(a, b):
+                    e = esc.reshape(esc.shape + (1,) * (a.ndim - 1))
+                    return jnp.where(e, a, b)
+
+                return (jax.tree_util.tree_map(pick, st2, st1),
+                        jax.tree_util.tree_map(pick, out2, out1))
+
+            return jax.lax.cond(jnp.any(esc), fallback,
+                                lambda _: (st1, out1), None)
 
     def _apply_bucket(state1, out, frames, idx):
         """Run the full WB/VJ/CS machinery for the streams named by idx
@@ -101,33 +145,76 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
         """Device-scheduled tick: no host mode vector.  Streams whose ENTRY
         mode is WB/VJ (same per-frame semantics as the reference: a stream
         that loses track this tick redetects on the NEXT frame,
-        src/main.js:230-248) pick the branch — the same 3-way dispatch the
-        host scheduler makes, but from an on-device count:
-          0 pending            -> camshift fast path only
-          1..bucket pending    -> fast path + top_k bucket of full steps
-          > bucket pending     -> full step for the whole batch (cold start /
-                                  mass loss; nothing would fit the bucket)
+        src/main.js:230-248) pick the branch from an on-device count:
+          0 pending                  -> camshift fast path only
+          1..bucket pending          -> fast path + ONE top_k bucket
+          bucket..chunk_cap pending  -> fast path + a while-loop of bucket
+                                        chunks (detector cost scales with the
+                                        ACTUAL pending count — a moderate
+                                        loss burst no longer pays the
+                                        full-batch detect tick)
+          > chunk_cap pending        -> overload policy: "full" = full step
+                                        for the whole batch (one slow tick,
+                                        everyone served — cold start); or
+                                        "rotate" = serve the chunk_cap
+                                        OLDEST pending streams (bounded tick
+                                        cost; pend_age makes the top_k FIFO,
+                                        so max wait is ceil(npend/chunk_cap)
+                                        ticks — no starvation)
         lax.switch executes exactly one branch per tick."""
         N = frames.shape[0]
         entry_non_cs = state.mode != ft.MODE_CS
+        age = state.pend_age
         npend = entry_non_cs.sum()
+        # a bucket multiple, so chunk slices never clamp (a clamped
+        # dynamic_slice would re-serve streams: same frame stepped twice)
+        chunk_cap = max(bucket, (min(N, 4 * bucket) // bucket) * bucket)
+        nchunks_max = chunk_cap // bucket
+        # oldest-first bucket key; ties -> lowest stream index (top_k stable)
+        sched_key = jnp.where(entry_non_cs, 1 + age, 0)
+
+        def _aged(state2, served):
+            new_age = jnp.where(entry_non_cs & ~served, age + 1,
+                                jnp.zeros_like(age))
+            return state2._replace(pend_age=new_age)
 
         def b_track(state, frames):
-            return track(state, frames)
+            st, out = track(state, frames)
+            return st._replace(pend_age=jnp.zeros_like(age)), out
 
         def b_bucket(state, frames):
             state1, out = track(state, frames)
-            # top_k is stable (ties -> lowest stream index first); padding
-            # slots get idx == N, dropped by the scatter
-            vals, idx = jax.lax.top_k(entry_non_cs.astype(jnp.int32), bucket)
-            idx = jnp.where(vals > 0, idx, N)
-            return _apply_bucket(state1, out, frames, idx)
+            vals, idx = jax.lax.top_k(sched_key, bucket)
+            idx = jnp.where(vals > 0, idx, N)  # padding slots dropped
+            state2, out2 = _apply_bucket(state1, out, frames, idx)
+            served = jnp.zeros((N,), bool).at[idx].set(True, mode="drop")
+            return _aged(state2, served), out2
+
+        def b_chunks(state, frames):
+            state1, out = track(state, frames)
+            vals, idxs = jax.lax.top_k(sched_key, chunk_cap)
+            idxs = jnp.where(vals > 0, idxs, N)
+            nchunks = jnp.minimum((npend + bucket - 1) // bucket, nchunks_max)
+
+            def body(c, carry):
+                st, o = carry
+                idx = jax.lax.dynamic_slice(idxs, (c * bucket,), (bucket,))
+                return _apply_bucket(st, o, frames, idx)
+
+            state2, out2 = jax.lax.fori_loop(0, nchunks, body, (state1, out))
+            served = jnp.zeros((N,), bool).at[idxs].set(True, mode="drop")
+            return _aged(state2, served), out2
 
         def b_full(state, frames):
-            return full(state, frames)
+            st, out = full(state, frames)
+            return st._replace(pend_age=jnp.zeros_like(age)), out
 
-        sel = jnp.where(npend == 0, 0, jnp.where(npend <= bucket, 1, 2))
-        return jax.lax.switch(sel, [b_track, b_bucket, b_full], state, frames)
+        branches = [b_track, b_bucket, b_chunks,
+                    b_chunks if overload == "rotate" else b_full]
+        sel = jnp.where(npend == 0, 0,
+                        jnp.where(npend <= bucket, 1,
+                                  jnp.where(npend <= chunk_cap, 2, 3)))
+        return jax.lax.switch(sel, branches, state, frames)
 
     def scan_steps(state, frames_seq):
         """K ticks in one dispatch: lax.scan of auto_step over the leading
@@ -168,8 +255,16 @@ class BatchedTracker:
     """Serve N independent streams with one device program per tick."""
 
     def __init__(self, n_streams, frame_shape=(240, 320), params=None,
-                 cascade=None, mesh=None, sync_interval=8, bucket=32, **kw):
-        """sync_interval: ticks between host reads of the device mode vector.
+                 cascade=None, mesh=None, sync_interval=8, bucket=32,
+                 band="auto", overload="full", **kw):
+        """band: camshift band-local tracking (see make_batched_steps);
+        "auto" enables it when the default band is smaller than the frame.
+
+        overload: mass-pending policy for the device scheduler — "full"
+        (one full-batch detect tick) or "rotate" (bounded-cost FIFO
+        rotation; see make_batched_steps).
+
+        sync_interval: ticks between host reads of the device mode vector.
         Between syncs the scheduler dispatches with a stale mode view — safe
         (the track variant freezes non-CS streams), at the cost of up to
         sync_interval ticks of detection latency for a stream that just lost
@@ -200,7 +295,8 @@ class BatchedTracker:
         (self._step_full, self._step_track, self._step_bucket,
          self._step_auto, self._step_scan) = \
             make_batched_steps(self.cascade, self.config, frame_shape, mesh,
-                               bucket=self.bucket)
+                               bucket=self.bucket, band=band,
+                               overload=overload)
         state1 = ft.init_state(self.config.whitebalancing)
         self.state = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(), state1)

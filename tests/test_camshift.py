@@ -150,6 +150,99 @@ def test_exact_flag_identical_on_cpu(rng):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_track_band_parity_vs_oracle(rng):
+    """Band-local camshift (mc.track_band, the serving fast path): identical
+    window updates to the f64 oracle on a 240x320 moving-blob clip, with the
+    pdf/moments computed on a (128, 192) band only; no escapes."""
+    H, W = 240, 320
+    frames = [_blob_frame(rng, H, W, 150 + 2 * t, 120 + t) for t in range(12)]
+    rect = (142, 110, 14, 18)
+    o = CamshiftTracker(calc_angles=True)
+    o.init_tracker(frames[0], rect)
+    st = mc.init_tracker(jnp.asarray(frames[0]), jnp.asarray(rect, jnp.int32))
+    step = jax.jit(lambda s, f: mc.track_band(s, f, True))
+    for t, f in enumerate(frames[1:], 1):
+        ro = o.track(f)
+        st, esc = step(st, jnp.asarray(f))
+        assert not bool(esc), t
+        assert int(st.track_x) == ro["x"], t
+        assert int(st.track_y) == ro["y"], t
+        assert int(st.track_w) == ro["width"], t
+        assert int(st.track_h) == ro["height"], t
+        assert np.asarray(st.window).tolist() == list(o.search_window), t
+
+
+def test_track_band_covering_frame_is_fullframe(rng):
+    """A band >= the frame degenerates to the full-frame math bit-for-bit."""
+    H, W = 60, 80
+    f0 = _blob_frame(rng, H, W, 30, 25)
+    rect = (24, 17, 12, 16)
+    st_a = mc.init_tracker(jnp.asarray(f0), jnp.asarray(rect, jnp.int32))
+    st_b = mc.init_tracker(jnp.asarray(f0), jnp.asarray(rect, jnp.int32))
+    full = jax.jit(lambda s, f: mc.track(s, f, True))
+    band = jax.jit(lambda s, f: mc.track_band(s, f, True, band=(H, W)))
+    for t in range(6):
+        f1 = _blob_frame(rng, H, W, 30 + t, 25)
+        st_a, _ = full(st_a, jnp.asarray(f1))
+        st_b, esc = band(st_b, jnp.asarray(f1))
+        assert not bool(esc)
+        for a, b in zip(jax.tree_util.tree_leaves(st_a),
+                        jax.tree_util.tree_leaves(st_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_track_band_escape_flag(rng):
+    """A search window bigger than the band must raise ``escaped`` (the
+    serving scheduler then recomputes that tick full-frame)."""
+    H, W = 240, 320
+    f0 = _blob_frame(rng, H, W, 150, 120)
+    big = (10, 10, 280, 200)  # taller/wider than the (128, 192) band
+    st = mc.init_tracker(jnp.asarray(f0), jnp.asarray(big, jnp.int32))
+    _, esc = jax.jit(lambda s, f: mc.track_band(s, f, True))(
+        st, jnp.asarray(f0))
+    assert bool(esc)
+
+
+def test_serving_band_track_step_equals_fullframe(rng):
+    """make_batched_steps band path: a batch mixing a normal stream and an
+    escaping stream produces exactly the full-frame results for both (the
+    escape cond recomputes invalid streams from the pre-track state)."""
+    import headtrackr_tpu as ht
+    from headtrackr_tpu.config import TrackerConfig
+    from headtrackr_tpu.models import facetracker as ft
+    from headtrackr_tpu.runtime.serving import make_batched_steps
+
+    H, W = 240, 320
+    f0 = _blob_frame(rng, H, W, 150, 120)
+    f1 = _blob_frame(rng, H, W, 60, 60)
+    cs0 = mc.init_tracker(jnp.asarray(f0), jnp.asarray((142, 110, 14, 18),
+                                                       jnp.int32))
+    cs1 = mc.init_tracker(jnp.asarray(f1), jnp.asarray((10, 10, 280, 200),
+                                                       jnp.int32))  # escapes
+    base = ft.init_state(True)
+    sts = []
+    for cs_st in (cs0, cs1):
+        sts.append(base._replace(mode=jnp.int32(ft.MODE_CS), cs=cs_st,
+                                 face_found=jnp.bool_(True)))
+    state = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *sts)
+    frames = jnp.stack([jnp.asarray(f0), jnp.asarray(f1)])
+
+    cfg = TrackerConfig(ui=False)
+    cascade = ht.toy_cascade()
+    _, tr_band, _, _, _ = make_batched_steps(cascade, cfg, (H, W),
+                                             donate=False, band="auto")
+    _, tr_full, _, _, _ = make_batched_steps(cascade, cfg, (H, W),
+                                             donate=False, band=None)
+    stb, outb = tr_band(jax.tree_util.tree_map(jnp.copy, state), frames)
+    stf, outf = tr_full(jax.tree_util.tree_map(jnp.copy, state), frames)
+    np.testing.assert_array_equal(np.asarray(stb.cs.window),
+                                  np.asarray(stf.cs.window))
+    for fld in ("face_x", "face_y", "face_w", "face_h", "mode_after"):
+        np.testing.assert_array_equal(np.asarray(getattr(outb, fld)),
+                                      np.asarray(getattr(outf, fld)),
+                                      err_msg=fld)
+
+
 def test_pick_block_exact_divisors():
     """block=None picks a 128-multiple EXACT divisor (padding measurably
     slows the scan on TPU — docs/PERFORMANCE.md); awkward sizes fall back."""

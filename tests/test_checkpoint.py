@@ -70,6 +70,32 @@ def test_checkpoint_schema_validation(tmp_path):
         load_state(p, like=st1)  # batched ckpt vs single-stream template
 
 
+def test_checkpoint_missing_optional_leaf_defaults_zero(tmp_path):
+    """A checkpoint written before state/pend_age existed (r2 schema) still
+    loads: the optional scheduler counter defaults to zeros."""
+    st = ft.init_state()._replace(mode=np.int32(2), pend_age=np.int32(7))
+    p = tmp_path / "st.npz"
+    save_state(p, st)
+    d = dict(np.load(p).items())
+    del d["state/pend_age"]
+    d["__paths__"] = np.asarray(
+        [s for s in d["__paths__"].tolist() if s != "state/pend_age"])
+    p2 = tmp_path / "old.npz"
+    np.savez_compressed(p2, **d)
+    st2 = load_state(p2)
+    assert int(st2.mode) == 2
+    assert int(st2.pend_age) == 0  # defaulted, not the saved 7
+    # a truly-missing REQUIRED leaf still fails loudly
+    d2 = dict(d)
+    del d2["state/mode"]
+    d2["__paths__"] = np.asarray(
+        [s for s in d2["__paths__"].tolist() if s != "state/mode"])
+    p3 = tmp_path / "bad.npz"
+    np.savez_compressed(p3, **d2)
+    with pytest.raises(ValueError):
+        load_state(p3)
+
+
 def test_checkpoint_paths_are_named(tmp_path):
     st = ft.init_state()
     p = tmp_path / "st.npz"

@@ -194,20 +194,21 @@ def test_dead_window_conf_is_last_evaluated_stage(rng):
     opyr, _oscale, _oupto, _onext = o_pyr(img, 5)
     dxs, dys = [0, 1, 0, 1], [0, 0, 1, 1]
 
+    qh2m = max(g.qh2 for g in tables.geoms)
+    qw2m = max(g.qw2 for g in tables.geoms)
+    stacks = jd._tile_stacks(pyr, tables)
+    alive_s, conf_s = jax.jit(
+        lambda s: jd._dense_chunk_stacked(
+            s, c, qh2m, qw2m, 0, int(ccum[n_st]),
+            jd._stage_ranges(casc, 0, n_st)))(stacks)
+    alive_s = np.asarray(alive_s)
+    conf_s = np.asarray(conf_s)
+
     checked_dead = 0
-    for g in tables.geoms[:3]:
+    for s_idx, g in enumerate(tables.geoms[:3]):
         i = g.level
-        I = jd._interleave_quarters(pyr[(i + 2 * next_) * 4 + 0],
-                                    pyr[(i + 2 * next_) * 4 + 1],
-                                    pyr[(i + 2 * next_) * 4 + 2],
-                                    pyr[(i + 2 * next_) * 4 + 3])
-        alive, conf = jax.jit(
-            lambda p0, p1, I_: jd._dense_chunk(
-                p0, p1, I_, c, g.qh2, g.qw2, 0, int(ccum[n_st]),
-                jd._stage_ranges(casc, 0, n_st)))(
-            pyr[i * 4], pyr[(i + next_) * 4], I)
-        alive = np.asarray(alive)
-        conf = np.asarray(conf)
+        alive = alive_s[s_idx, :g.qh2, :g.qw2]
+        conf = conf_s[s_idx, :g.qh2, :g.qw2]
         for q in range(4):
             oa, oc = od.detect_at_scale(
                 opyr[i * 4], opyr[(i + next_) * 4],

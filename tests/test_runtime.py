@@ -72,6 +72,53 @@ def test_tracker_rejects_unknown_params():
         ht.Tracker(nonsense=True)
 
 
+def test_device_scheduler_overload_policies():
+    """Chunked redetect buckets + overload policy (VERDICT r2 items 2/4):
+    a moderate loss burst (bucket < npend <= 4*bucket) relocks in ONE
+    device-scheduled tick via the chunk loop; a mass burst (> 4*bucket)
+    either full-batch-detects ("full") or FIFO-rotates with bounded wait
+    ("rotate", pend_age ages)."""
+    import headtrackr_tpu.models.facetracker as ftm
+    N, bucket = 16, 2  # chunk_cap = 8
+    good = np.stack([_fr(50 + 2 * (i % 5), 40 + 2 * (i % 5))
+                     for i in range(N)])
+
+    def lose(k):
+        f = good.copy()
+        f[:k] = _fr(blue=True)
+        return f
+
+    for overload in ("full", "rotate"):
+        bt = ht.BatchedTracker(N, frame_shape=(H, W),
+                               cascade=ht.toy_cascade(), bucket=bucket,
+                               overload=overload)
+        # cold start: "full" serves all 16 streams per tick (17 ticks to
+        # WB-stabilize + detect + lock); "rotate" bounds each tick to
+        # chunk_cap=8 streams, so the same progress takes ~2x the ticks
+        for _ in range(17 if overload == "full" else 40):
+            bt.step_auto(good)
+        assert (bt.modes == ftm.MODE_CS).all(), overload
+        # moderate burst: 5 pending -> chunked branch serves ALL in one tick
+        bt.step_auto(lose(5))
+        bt.step_auto(good)
+        assert (bt.modes == ftm.MODE_CS).all(), overload
+        # mass burst: 10 pending (> chunk_cap 8)
+        bt.step_auto(lose(10))
+        bt.step_auto(good)
+        modes = bt.modes
+        ages = np.asarray(bt.state.pend_age)
+        if overload == "full":
+            assert (modes == ftm.MODE_CS).all()
+            assert ages.max() == 0
+        else:
+            # 8 oldest (= lowest-index on equal age) served; 2 wait one tick
+            assert (modes == ftm.MODE_CS).sum() == N - 2
+            assert (ages > 0).sum() == 2 and ages.max() == 1
+            bt.step_auto(good)
+            assert (bt.modes == ftm.MODE_CS).all()
+            assert np.asarray(bt.state.pend_age).max() == 0
+
+
 def test_facetrackr_namespace_state_machine():
     """Public ht.facetrackr.Tracker (src/facetrackr.js:37-130): WB -> VJ ->
     CS transitions, facetrackingEvent emission, getTrackingObject clone."""

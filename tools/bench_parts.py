@@ -23,8 +23,8 @@ def main():
     ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--parts", type=str, default="all",
-                    help="comma list: rtt,h2d,track,histpdf,hist,pdfonly,"
-                         "meanshift,dispatch,bucket")
+                    help="comma list: rtt,h2d,track,trackband,histpdf,hist,"
+                         "pdfonly,meanshift,dispatch,bucket")
     args = ap.parse_args()
     want = set(args.parts.split(",")) if args.parts != "all" else None
 
@@ -88,8 +88,22 @@ def main():
 
     # --- full track step (CS fast path), scan-chained via state carry
     bt = None
-    if on("track") or on("bucket") or on("dispatch"):
+    if on("track") or on("trackband") or on("bucket") or on("dispatch"):
         bt = ht.BatchedTracker(N, frame_shape=(H, W), ui=False)
+
+    if on("trackband"):
+        stepb1 = ft.make_step(bt.cascade, bt.config, (H, W), "track",
+                              band=cshift.DEFAULT_BAND)
+        vstepb = jax.vmap(stepb1)
+
+        @jax.jit
+        def trackband_scan(state, frames):
+            def body(s, _):
+                s2, out, esc = vstepb(s, frames)
+                return s2, None
+            s, _ = jax.lax.scan(body, state, None, length=n)
+            return s
+        timed("track_band_step", trackband_scan, bt.state, frames)
 
     if on("track"):
         step1 = ft.make_step(bt.cascade, bt.config, (H, W), "track")
