@@ -218,12 +218,18 @@ def _mean_shift_core(pdf, window, exact, ry, rx, H, W):
         return (win_out, prevx_out, prevy_out, done | fixed,
                 esc | (esc_now & ~done), m_out, wad_out)
 
+    # Static 10-trip fori_loop with a ``done`` freeze mask, NOT a dynamic
+    # while_loop early exit: identical results (frozen iterations are
+    # no-ops, src/camshift.js:298-305 stops at the same point), but the
+    # dynamic trip count costs more than it saves — an early-exit
+    # while_loop measured ~10% SLOWER end-to-end (bench r3: 5.81 -> 6.44
+    # ms/tick regression; forced unroll=True did not recover it).
     zeros3 = tuple(jnp.float32(0.0) for _ in range(3))
     zi = jnp.int32(0)
-    init = (window, window[0], window[1], jnp.bool_(False), jnp.bool_(False),
-            zeros3, (zi, zi, zi, zi))
-    win, _, _, _, esc, m, wad = jax.lax.fori_loop(0, MEANSHIFT_ITERS, body,
-                                                  init)
+    init = (window, window[0], window[1], jnp.bool_(False),
+            jnp.bool_(False), zeros3, (zi, zi, zi, zi))
+    win, _, _, _, esc, m, wad = jax.lax.fori_loop(
+        0, MEANSHIFT_ITERS, body, init)
 
     win = win.at[0].set(jnp.clip(win[0], 0, W)).at[1].set(jnp.clip(win[1], 0, H))
     m00, m10, m01 = m
@@ -293,7 +299,7 @@ def _finish(state, win, m, zero_mass, calc_angles, H, W):
                           track_angle=ang.astype(jnp.float32))
 
 
-def track(state, frame_rgb, calc_angles=True, exact=False):
+def track(state, frame_rgb, calc_angles=True, exact=False, block=None):
     """One camshift frame step (src/camshift.js:213-259).
 
     Returns (new state, full-frame pdf — the debug/backprojection surface).
@@ -301,7 +307,8 @@ def track(state, frame_rgb, calc_angles=True, exact=False):
     both modes are identical) — see TrackerConfig.exactCamshift."""
     H, W = frame_rgb.shape[0], frame_rgb.shape[1]
     bins = rgb_bins(frame_rgb)
-    _, pdf = histogram_and_pdf(bins, state.model_hist, exact=exact)
+    _, pdf = histogram_and_pdf(bins, state.model_hist, exact=exact,
+                               block=block)
     win, m, zero_mass = mean_shift(pdf, state.window, exact)
     return _finish(state, win, m, zero_mass, calc_angles, H, W), pdf
 
@@ -314,7 +321,7 @@ DEFAULT_BAND = (128, 192)
 
 
 def track_band(state, frame_rgb, calc_angles=True, exact=False,
-               band=DEFAULT_BAND):
+               band=DEFAULT_BAND, block=None):
     """Band-local camshift step: same math as ``track`` with the pdf lookup
     and moment reductions restricted to an 8-aligned band around the search
     window (the big steady-state cost cut — the full-frame pdf pass is most
@@ -334,7 +341,7 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
     bh = min(band[0], H)
     bw = min(band[1], W)
     bins = rgb_bins(frame_rgb)
-    cur = histogram_scan(bins)
+    cur = histogram_scan(bins, block=block)
     weights = backprojection_weights(state.model_hist, cur)
 
     # center the band on the clamped search window, 8-aligned (sublane/lane

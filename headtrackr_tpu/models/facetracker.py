@@ -129,6 +129,12 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         the batch is in CS mode (the serving runtime guarantees this; under
         vmap the full variant pays for the detector in every branch, so
         steady-state serving uses this one).
+    variant="wbtrack": camshift for CS streams + whitebalance stabilization
+        for WB streams; VJ streams freeze.  The cold-start fast path: a
+        fresh batch spends ~15 ticks with EVERY stream in WB mode, where the
+        full step would pay the (useless) detector for the whole batch —
+        this variant costs a track tick (runtime/serving.py auto_step picks
+        it whenever nothing pends in VJ mode).
     with_pdf=True: step also returns the camshift backprojection image
         ((H, W) f32; zeros on non-CS frames) as a third output — the debug
         surface (src/facetrackr.js:194-196).  Costs one extra (H, W) buffer;
@@ -139,8 +145,9 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         results are invalid (window left the band); the serving scheduler
         recomputes those with the full-frame track program.
     """
-    if band is not None and (variant != "track" or with_pdf):
-        raise ValueError("band requires variant='track' without with_pdf")
+    if band is not None and (variant not in ("track", "wbtrack") or with_pdf):
+        raise ValueError("band requires variant='track'/'wbtrack' "
+                         "without with_pdf")
     H, W = frame_shape
     f32 = jnp.float32
 
@@ -180,7 +187,7 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
 
     def cs_branch(state, frame):
         new_cs, pdf = cs.track(state.cs, frame, config.calcAngles,
-                               config.exactCamshift)
+                               config.exactCamshift, config.histBlock)
         res = _Result(x=new_cs.track_x.astype(f32), y=new_cs.track_y.astype(f32),
                       w=new_cs.track_w.astype(f32), h=new_cs.track_h.astype(f32),
                       angle=new_cs.track_angle.astype(f32), conf=f32(1.0),
@@ -193,7 +200,8 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
 
     def cs_branch_band(state, frame):
         new_cs, escaped = cs.track_band(state.cs, frame, config.calcAngles,
-                                        config.exactCamshift, band)
+                                        config.exactCamshift, band,
+                                        config.histBlock)
         res = _Result(x=new_cs.track_x.astype(f32), y=new_cs.track_y.astype(f32),
                       w=new_cs.track_w.astype(f32), h=new_cs.track_h.astype(f32),
                       angle=new_cs.track_angle.astype(f32), conf=f32(1.0),
@@ -204,19 +212,33 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         entry_mode = state.mode
         pdf = None
         escaped = None
-        if variant == "track":
+        if variant in ("track", "wbtrack"):
             # camshift for CS streams; freeze (no-op) for WB/VJ streams so the
             # serving scheduler may dispatch this with a one-tick-stale mode
-            # vector (a non-CS stream just stalls until the full step runs)
+            # vector (a non-CS stream just stalls until the full step runs).
+            # wbtrack additionally runs the whitebalance branch for WB
+            # streams (cold-start fast path; only VJ streams freeze).
             is_cs = entry_mode == MODE_CS
             if band is not None:
                 new_state, res, escaped = cs_branch_band(state, frame)
                 escaped = escaped & is_cs  # frozen streams can't escape
             else:
                 new_state, res, pdf = cs_branch(state, frame)
+            if variant == "wbtrack":
+                is_wb = entry_mode == MODE_WB
+                wb_state, wb_res = wb_branch(state, frame)
+                new_state = jax.tree_util.tree_map(
+                    lambda c, w: jnp.where(is_cs, c, w), new_state, wb_state)
+                res = jax.tree_util.tree_map(
+                    lambda c, w: jnp.where(is_cs, c, w), res, wb_res)
+                active = is_cs | is_wb
+            else:
+                active = is_cs
             state = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(is_cs, new, old), new_state, state)
-            res = res._replace(conf=jnp.where(is_cs, res.conf, f32(0.0)))
+                lambda new, old: jnp.where(active, new, old), new_state, state)
+            # frozen streams report conf 0; active WB streams keep the WB
+            # branch's conf so wbtrack outputs equal the full step's
+            res = res._replace(conf=jnp.where(active, res.conf, f32(0.0)))
             if with_pdf:
                 pdf = jnp.where(is_cs, pdf, 0.0)
         elif with_pdf:
@@ -238,6 +260,8 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
             state.first_run & (detection == MODE_VJ), STATUS_DETECTING, 0)
         if variant == "track":  # stalled non-CS streams emit nothing
             status = jnp.where(entry_mode == MODE_CS, status, 0)
+        elif variant == "wbtrack":  # only frozen VJ streams emit nothing
+            status = jnp.where(entry_mode != MODE_VJ, status, 0)
 
         is_cs = detection == MODE_CS
         conf_gate = res.conf != 0  # src/main.js:186

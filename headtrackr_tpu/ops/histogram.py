@@ -108,16 +108,33 @@ def histogram_4096(bins, mask=None):
     return hist.reshape(NBINS).astype(jnp.float32)
 
 
-def histogram_rect(bins, x, y, w, h):
+def histogram_rect(bins, x, y, w, h, block=None):
     """Histogram of the rect [x, x+w) x [y, y+h) only (traced rect).
 
     Equivalent of Histogram(getImageData(tax, tay, taw, tah)) at
-    src/camshift.js:206-208."""
+    src/camshift.js:206-208.  Blocked like histogram_scan: the unblocked
+    form materializes a (P, 64) one-hot per stream under vmap (~1.3 GB at
+    256 streams — measured as the dominant cost of a full-batch detect
+    tick's VJ->CS handoff)."""
     H, W = bins.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     inside = ((rows >= y) & (rows < y + h) & (cols >= x) & (cols < x + w))
-    return histogram_4096(bins, inside)
+    flat = bins.reshape(-1)
+    block = block or _pick_block(flat.shape[0])
+    blocks = _blocked(flat, block)
+    mblocks = _blocked(jnp.where(inside.reshape(-1), 1, 0), block) > 0
+
+    def body(acc, xs):
+        blk, mb = xs
+        oh_hi, oh_lo = _one_hots(blk, mb, dtype=jnp.int8)
+        h_ = jax.lax.dot_general(oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        return acc + h_, None
+
+    hist64, _ = jax.lax.scan(body, jnp.zeros((_HI, _LO), jnp.int32),
+                             (blocks, mblocks))
+    return hist64.reshape(NBINS).astype(jnp.float32)
 
 
 def backprojection_weights(model_hist, cur_hist):
@@ -161,7 +178,12 @@ def _pick_block(P, cap=16384):
     256 streams: block 8192 pads 320x240's 76,800 px by 6.7% and costs
     6.5 ms/tick; any exact divisor in 6400..15360 runs 5.5-5.8 ms/tick —
     docs/PERFORMANCE.md).  320x240 -> 15360, 640x480 -> 15360,
-    160x120 -> 9600."""
+    160x120 -> 9600.  r3 note: an isolated track-step microbench favored
+    ONE 76,800 block (3.7 vs 5.2 ms/tick), but a same-process interleaved
+    A/B of the REAL serving scan program (tools/exp_scan_ab.py) measured
+    15,360 FASTER there (7.8 vs 8.4 ms/tick under a noisy tunnel) — the
+    smaller blocks overlap better with the rest of the tick.  The default
+    stays 15360; TrackerConfig.histBlock overrides per deployment."""
     if P % 128 == 0:
         kmax = cap // 128
         for k in range(min(kmax, P // 128), 0, -1):

@@ -83,22 +83,18 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
                              and band[1] >= frame_shape[1]):
         band = None  # band covers the frame: identical math, skip the cond
     full1 = ft.make_step(cascade, config, frame_shape, "full")
-    track1 = ft.make_step(cascade, config, frame_shape, "track")
     full = jax.vmap(full1)
-    track_plain = jax.vmap(track1)
-    if band is None:
-        track = track_plain
-    else:
-        track_band = jax.vmap(
-            ft.make_step(cascade, config, frame_shape, "track", band=band))
 
-        def track(state, frames):
-            st1, out1, esc = track_band(state, frames)
+    def _escape_checked(banded, plain):
+        """Band-local step with the full-frame fallback: escaped streams
+        (window left the band — rare) recompute from the PRE-step state
+        under one batch-level lax.cond, so results are always
+        full-frame-equal."""
+        def fn(state, frames):
+            st1, out1, esc = banded(state, frames)
 
             def fallback(_):
-                # recompute escaped streams full-frame from the PRE-track
-                # state (band results for them are invalid)
-                st2, out2 = track_plain(state, frames)
+                st2, out2 = plain(state, frames)
 
                 def pick(a, b):
                     e = esc.reshape(esc.shape + (1,) * (a.ndim - 1))
@@ -109,6 +105,18 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
 
             return jax.lax.cond(jnp.any(esc), fallback,
                                 lambda _: (st1, out1), None)
+        return fn
+
+    def _fast_path(variant):
+        plain = jax.vmap(ft.make_step(cascade, config, frame_shape, variant))
+        if band is None:
+            return plain
+        banded = jax.vmap(
+            ft.make_step(cascade, config, frame_shape, variant, band=band))
+        return _escape_checked(banded, plain)
+
+    track = _fast_path("track")
+    wbtrack = _fast_path("wbtrack")
 
     def _apply_bucket(state1, out, frames, idx):
         """Run the full WB/VJ/CS machinery for the streams named by idx
@@ -147,6 +155,11 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
         that loses track this tick redetects on the NEXT frame,
         src/main.js:230-248) pick the branch from an on-device count:
           0 pending                  -> camshift fast path only
+          pending but none in VJ     -> wbtrack fast path (whitebalance +
+                                        camshift, NO detector — the first
+                                        ~15 cold-start ticks are all-WB and
+                                        cost a track tick instead of a
+                                        full-batch detect tick)
           1..bucket pending          -> fast path + ONE top_k bucket
           bucket..chunk_cap pending  -> fast path + a while-loop of bucket
                                         chunks (detector cost scales with the
@@ -166,6 +179,7 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
         entry_non_cs = state.mode != ft.MODE_CS
         age = state.pend_age
         npend = entry_non_cs.sum()
+        npend_vj = (state.mode == ft.MODE_VJ).sum()
         # a bucket multiple, so chunk slices never clamp (a clamped
         # dynamic_slice would re-serve streams: same frame stepped twice)
         chunk_cap = max(bucket, (min(N, 4 * bucket) // bucket) * bucket)
@@ -209,11 +223,17 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
             st, out = full(state, frames)
             return st._replace(pend_age=jnp.zeros_like(age)), out
 
+        def b_wbtrack(state, frames):
+            st, out = wbtrack(state, frames)
+            return st._replace(pend_age=jnp.zeros_like(age)), out
+
         branches = [b_track, b_bucket, b_chunks,
-                    b_chunks if overload == "rotate" else b_full]
+                    b_chunks if overload == "rotate" else b_full, b_wbtrack]
         sel = jnp.where(npend == 0, 0,
-                        jnp.where(npend <= bucket, 1,
-                                  jnp.where(npend <= chunk_cap, 2, 3)))
+                        jnp.where(npend_vj == 0, 4,
+                                  jnp.where(npend <= bucket, 1,
+                                            jnp.where(npend <= chunk_cap,
+                                                      2, 3))))
         return jax.lax.switch(sel, branches, state, frames)
 
     def scan_steps(state, frames_seq):

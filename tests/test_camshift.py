@@ -245,7 +245,8 @@ def test_serving_band_track_step_equals_fullframe(rng):
 
 def test_pick_block_exact_divisors():
     """block=None picks a 128-multiple EXACT divisor (padding measurably
-    slows the scan on TPU — docs/PERFORMANCE.md); awkward sizes fall back."""
+    slows the scan on TPU — docs/PERFORMANCE.md); awkward sizes fall back.
+    TrackerConfig.histBlock overrides (tools/exp_scan_ab.py A/B knob)."""
     for p, want in [(320 * 240, 15360), (640 * 480, 15360),
                     (160 * 120, 9600), (64 * 48, 3072)]:
         got = oh._pick_block(p)

@@ -119,6 +119,27 @@ def test_device_scheduler_overload_policies():
             assert np.asarray(bt.state.pend_age).max() == 0
 
 
+def test_device_vs_host_scheduler_equal():
+    """The device scheduler (wbtrack/bucket/chunks branches) must produce
+    exactly the host scheduler's per-stream results through cold start,
+    lock, loss and redetect (PARITY.md deviation 11)."""
+    N = 4
+    mk = lambda: ht.BatchedTracker(N, frame_shape=(H, W),
+                                   cascade=ht.toy_cascade(), bucket=2,
+                                   sync_interval=1)
+    bt_a, bt_h = mk(), mk()
+    frames = np.stack([_fr(50 + 4 * i, 40 + 3 * i) for i in range(N)])
+    blue = np.stack([_fr(blue=True)] * 2 + [frames[2], frames[3]])
+    for t in range(22):
+        f = blue if t == 18 else frames
+        out_a = bt_a.step_auto(f)
+        out_h = bt_h.step(f, sync=True)
+        for name, a, b in zip(out_a._fields, out_a, out_h):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"tick {t} field {name}")
+    assert bt_a.modes.tolist() == bt_h.modes.tolist() == [2] * N
+
+
 def test_facetrackr_namespace_state_machine():
     """Public ht.facetrackr.Tracker (src/facetrackr.js:37-130): WB -> VJ ->
     CS transitions, facetrackingEvent emission, getTrackingObject clone."""

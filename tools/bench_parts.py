@@ -105,6 +105,51 @@ def main():
             return s
         timed("track_band_step", trackband_scan, bt.state, frames)
 
+    if on("bandparts"):
+        # incremental pieces of track_band (differences give the split):
+        # bins+hist -> +weights+slice+bandpdf -> +meanshift -> full step
+        from headtrackr_tpu.ops.histogram import (backprojection_weights,
+                                                  histogram_scan, pdf_scan)
+        bh, bw = cshift.DEFAULT_BAND
+        mh0 = jnp.ones((N, 4096), jnp.float32)
+        win0 = jnp.tile(jnp.asarray([100, 80, 50, 50], jnp.int32), (N, 1))
+
+        def upto_hist(mh, frame):
+            bins = hg.rgb_bins(frame)
+            return histogram_scan(bins)
+
+        def upto_pdf(mh, frame):
+            bins = hg.rgb_bins(frame)
+            cur = histogram_scan(bins)
+            wts = backprojection_weights(mh, cur)
+            band_bins = jax.lax.dynamic_slice(bins, (jnp.int32(56),
+                                                     jnp.int32(64)), (bh, bw))
+            return pdf_scan(band_bins, wts).sum() + cur
+
+        def upto_ms(mh, frame):
+            bins = hg.rgb_bins(frame)
+            cur = histogram_scan(bins)
+            wts = backprojection_weights(mh, cur)
+            band_bins = jax.lax.dynamic_slice(bins, (jnp.int32(56),
+                                                     jnp.int32(64)), (bh, bw))
+            pdf = pdf_scan(band_bins, wts)
+            win, m, zm, esc = cshift._mean_shift_core(
+                pdf, win0[0], False, jnp.int32(56), jnp.int32(64), H, W)
+            return cur + win[0].astype(jnp.float32)
+
+        for name, fn1 in (("bins_hist", upto_hist), ("plus_band_pdf", upto_pdf),
+                          ("plus_meanshift", upto_ms)):
+            vfn = jax.vmap(fn1, in_axes=(0, 0))
+
+            @jax.jit
+            def scan_fn(mh, frames, vfn=vfn):
+                def body(m, _):
+                    r = vfn(m, frames)
+                    return m + r[:, :1] * 1e-30, None
+                m, _ = jax.lax.scan(body, mh, None, length=n)
+                return m
+            timed(name, scan_fn, mh0, frames)
+
     if on("track"):
         step1 = ft.make_step(bt.cascade, bt.config, (H, W), "track")
         vstep = jax.vmap(step1)
@@ -183,21 +228,23 @@ def main():
         dt = time.time() - t0 - rtt
         print(f"dispatch_ms_per_call {1000 * dt / 50:.3f}")
 
-    # --- bucket add-on: the full WB/VJ/CS step for 32 streams
+    # --- bucket add-on: the full WB/VJ/CS step at several batch sizes
     if on("bucket"):
-        nb = 32
         full1 = ft.make_step(bt.cascade, bt.config, (H, W), "full")
         vfull = jax.vmap(full1)
-        sub = jax.tree_util.tree_map(lambda a: a[:nb], bt.state)
+        for nb in (8, 32, 128, N):
+            if nb > N:
+                continue
+            sub = jax.tree_util.tree_map(lambda a: a[:nb], bt.state)
 
-        @jax.jit
-        def full_scan(state, frames):
-            def body(s, _):
-                s2, out = vfull(s, frames)
-                return s2, None
-            s, _ = jax.lax.scan(body, state, None, length=n)
-            return s
-        timed(f"full_step_{nb}", full_scan, sub, frames[:nb])
+            @jax.jit
+            def full_scan(state, frames):
+                def body(s, _):
+                    s2, out = vfull(s, frames)
+                    return s2, None
+                s, _ = jax.lax.scan(body, state, None, length=n)
+                return s
+            timed(f"full_step_{nb}", full_scan, sub, frames[:nb])
 
 
 if __name__ == "__main__":

@@ -1,0 +1,109 @@
+"""In-context cost split of the band track step by piece-stubbing.
+
+Microbenches of isolated pieces mislead here (XLA overlaps cross-tick work
+under the scan chain, and standalone pieces compile to different layouts),
+so this measures the REAL step program with individual pieces replaced by
+cheap stand-ins; the deltas are each piece's in-context marginal cost:
+
+  full        track_band as served
+  no_hist     histogram_scan -> ones   (weights garbage; shapes identical)
+  no_pdf      pdf_scan -> zeros        (mean-shift on zeros)
+  no_ms       _mean_shift_core -> passthrough window, zero moments
+  no_bins     rgb_bins -> zeros        (kills the bins compute AND most
+                                        downstream value ranges)
+
+Run on the chip: python tools/exp_step_split.py --streams 256
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import headtrackr_tpu as ht
+    from headtrackr_tpu.models import camshift as cs
+    from headtrackr_tpu.models import facetracker as ft
+    from headtrackr_tpu.cascade import frontalface
+    from headtrackr_tpu.config import TrackerConfig
+
+    N, n = args.streams, args.iters
+    H, W = 240, 320
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (N, H, W, 3), dtype=np.uint8))
+    cfg = TrackerConfig(ui=False)
+    casc = frontalface()
+    state1 = ft.init_state(True)
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (N,) + np.shape(x)).copy(), state1)
+    # realistic windows so the mean-shift/band geometry is exercised
+    win = jnp.tile(jnp.asarray([100, 80, 50, 50], jnp.int32), (N, 1))
+    state = state._replace(cs=state.cs._replace(window=win),
+                           mode=jnp.full((N,), ft.MODE_CS, jnp.int32))
+
+    real = dict(hist=cs.histogram_scan, pdf=cs.pdf_scan,
+                ms=cs._mean_shift_core, bins=cs.rgb_bins)
+
+    def stub(name):
+        if name == "no_hist":
+            cs.histogram_scan = lambda b, block=None: jnp.ones(
+                (4096,), jnp.float32)
+        elif name == "no_pdf":
+            cs.pdf_scan = lambda b, w, block=None, exact=False: jnp.zeros(
+                b.shape, jnp.float32)
+        elif name == "no_ms":
+            def fake_ms(pdf, window, exact, ry, rx, H_, W_):
+                z = jnp.float32(0.0)
+                mom = dict(m00=z, m10=z, m01=z, m11=z, m20=z, m02=z,
+                           invM00=jnp.float32(jnp.inf), xc=z, yc=z,
+                           mu20=z, mu02=z, mu11=z)
+                return window, mom, jnp.bool_(True), jnp.bool_(False)
+            cs._mean_shift_core = fake_ms
+        elif name == "no_bins":
+            cs.rgb_bins = lambda f: jnp.zeros(f.shape[:-1], jnp.int32)
+
+    def restore():
+        cs.histogram_scan = real["hist"]
+        cs.pdf_scan = real["pdf"]
+        cs._mean_shift_core = real["ms"]
+        cs.rgb_bins = real["bins"]
+
+    for name in ("full", "no_hist", "no_pdf", "no_ms", "no_bins"):
+        restore()
+        stub(name)
+        step1 = ft.make_step(casc, cfg, (H, W), "track",
+                             band=cs.DEFAULT_BAND)
+        vstep = jax.vmap(step1)
+
+        @jax.jit
+        def scan_fn(st, frames):
+            def body(s, _):
+                s2, out, esc = vstep(s, frames)
+                return s2, None
+            s, _ = jax.lax.scan(body, st, None, length=n)
+            return s
+        st = scan_fn(jax.tree_util.tree_map(jnp.copy, state), frames)
+        np.asarray(st.mode)
+        t0 = time.time()
+        st = scan_fn(jax.tree_util.tree_map(jnp.copy, state), frames)
+        np.asarray(st.mode)
+        dt = time.time() - t0
+        print(f"{name:10s} {1000 * dt / n:.3f} ms/tick")
+    restore()
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,40 @@ def run_device(clip, exact):
                     np.asarray(h).tolist()))
 
 
+def run_device_serving(clip, exact):
+    """The PRODUCTION serving path: device-scheduled step_scan (wbtrack /
+    bucket / band-local camshift with escape fallback) at n_streams=1."""
+    import jax
+    import jax.numpy as jnp
+
+    import headtrackr_tpu as ht
+    from headtrackr_tpu.cascade import frontalface
+    from headtrackr_tpu.config import TrackerConfig
+    from headtrackr_tpu.models import facetracker as ft
+    from headtrackr_tpu.runtime.serving import make_batched_steps
+
+    ht.enable_compilation_cache(
+        os.environ.get("HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
+    cfg = TrackerConfig(smoothing=False, headPosition=False,
+                        exactCamshift=exact)
+    _, _, _, _, step_scan = make_batched_steps(
+        frontalface(), cfg, (240, 320), bucket=1, band="auto", donate=False)
+
+    state1 = ft.init_state(cfg.whitebalancing)
+    state = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], state1)
+    frames = jnp.asarray(clip)[:, None]
+    t0 = time.time()
+    _, out = step_scan(state, frames)
+    det = np.asarray(out.detection)[:, 0]
+    print(f"#   serving run ({'exact' if exact else 'fast'}, band): "
+          f"{time.time() - t0:.0f}s incl. compile", file=sys.stderr)
+    return list(zip(det.tolist(),
+                    np.asarray(out.face_x)[:, 0].tolist(),
+                    np.asarray(out.face_y)[:, 0].tolist(),
+                    np.asarray(out.face_w)[:, 0].tolist(),
+                    np.asarray(out.face_h)[:, 0].tolist()))
+
+
 def compare(tag, oracle_rows, dev_rows):
     modes = {"WB": 0, "VJ": 1, "CS": 2}
     n = exact_n = 0
@@ -163,14 +197,23 @@ def main():
             dev_rows = run_device(clip, exact)
             tag = "exactCamshift" if exact else "fast  (default)"
             results[(noise, exact)] = compare(tag, oracle_rows, dev_rows)
+        for exact in (False, True):
+            dev_rows = run_device_serving(clip, exact)
+            tag = ("serving band exact" if exact else "serving band fast ")
+            results[(noise, exact, "band")] = compare(tag, oracle_rows,
+                                                      dev_rows)
 
     # Gate on realistic input: exactCamshift must be bit-perfect (IoU 1.0
-    # within fp tolerance), the fast serving mode within the BASELINE 0.99.
-    # The degenerate clip is reported as the documented worst case
-    # (f32-vs-f64 truncation races; docs/PARITY.md).
-    ok = results[(3, True)][0] >= 0.999 and results[(3, False)][1] >= 0.99
-    print(f"gate (realistic clip: exact bit-perfect, fast mean IoU >= 0.99): "
-          f"{'PASS' if ok else 'FAIL'}")
+    # within fp tolerance), the fast serving mode within the BASELINE 0.99,
+    # and the PRODUCTION serving path (device scheduler + band-local
+    # camshift) within 0.99 in both modes.  The degenerate clip is reported
+    # as the documented worst case (f32-vs-f64 truncation races;
+    # docs/PARITY.md).
+    ok = (results[(3, True)][0] >= 0.999 and results[(3, False)][1] >= 0.99
+          and results[(3, True, "band")][1] >= 0.99
+          and results[(3, False, "band")][1] >= 0.99)
+    print(f"gate (realistic clip: exact bit-perfect, fast/serving mean IoU "
+          f">= 0.99): {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
 
