@@ -43,7 +43,8 @@ __all__ = ["BatchedTracker", "make_batched_steps"]
 
 
 def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
-                       bucket=32, band="auto", overload="full"):
+                       bucket=32, band="auto", overload="full",
+                       escape_bucket=8):
     """Returns (step_full, step_track, step_bucket, step_auto, step_scan).
 
     overload: device-scheduler policy when more than 4*bucket streams pend
@@ -86,14 +87,48 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
     full = jax.vmap(full1)
 
     def _escape_checked(banded, plain):
-        """Band-local step with the full-frame fallback: escaped streams
-        (window left the band — rare) recompute from the PRE-step state
-        under one batch-level lax.cond, so results are always
-        full-frame-equal."""
+        """Band-local step with a COST-BOUNDED full-frame fallback for
+        escaped streams (window left the band — rare).
+
+        Scaling hazard (measured, docs/PERFORMANCE.md): a batch-level
+        ``any(esc) -> recompute everyone full-frame`` cond fires with
+        probability 1-(1-p)^N, so at a constant per-stream escape rate p the
+        fallback frequency GROWS with the batch — the r2 512-stream
+        regression.  Instead, <= ESCAPE_BUCKET escaped streams are top_k
+        compacted and recomputed from the PRE-step state as a small
+        sub-batch (cost O(bucket), not O(N)); only >bucket simultaneous
+        escapes (vanishingly rare) pay the full-batch recompute.  Results
+        are always full-frame-equal either way."""
+        ebucket = max(1, int(escape_bucket))
+
         def fn(state, frames):
             st1, out1, esc = banded(state, frames)
+            N = frames.shape[0]
+            nesc = esc.sum()
 
-            def fallback(_):
+            def none_(_):
+                return st1, out1
+
+            def few(_):
+                vals, idx = jax.lax.top_k(esc.astype(jnp.int32), ebucket)
+                idx = jnp.where(vals > 0, idx, N)
+                safe = jnp.minimum(idx, N - 1)
+                sub_state = jax.tree_util.tree_map(lambda a: a[safe], state)
+                # ``plain`` is a vmapped step: shape-polymorphic over the
+                # leading axis, so it serves the small sub-batch directly
+                st2, out2 = plain(sub_state, frames[safe])
+                valid = idx < N
+
+                def scatter(buf, sub):
+                    cur = buf[safe]
+                    vshape = (valid.shape[0],) + (1,) * (buf.ndim - 1)
+                    merged = jnp.where(valid.reshape(vshape), sub, cur)
+                    return buf.at[idx].set(merged, mode="drop")
+
+                return (jax.tree_util.tree_map(scatter, st1, st2),
+                        jax.tree_util.tree_map(scatter, out1, out2))
+
+            def many(_):
                 st2, out2 = plain(state, frames)
 
                 def pick(a, b):
@@ -103,8 +138,10 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
                 return (jax.tree_util.tree_map(pick, st2, st1),
                         jax.tree_util.tree_map(pick, out2, out1))
 
-            return jax.lax.cond(jnp.any(esc), fallback,
-                                lambda _: (st1, out1), None)
+            if ebucket >= N:
+                return jax.lax.cond(nesc == 0, none_, many, None)
+            sel = jnp.where(nesc == 0, 0, jnp.where(nesc <= ebucket, 1, 2))
+            return jax.lax.switch(sel, [none_, few, many], None)
         return fn
 
     def _fast_path(variant):
@@ -276,9 +313,13 @@ class BatchedTracker:
 
     def __init__(self, n_streams, frame_shape=(240, 320), params=None,
                  cascade=None, mesh=None, sync_interval=8, bucket=32,
-                 band="auto", overload="full", **kw):
+                 band="auto", overload="full", escape_bucket=8, **kw):
         """band: camshift band-local tracking (see make_batched_steps);
         "auto" enables it when the default band is smaller than the frame.
+
+        escape_bucket: max streams whose band-escape is recomputed as a
+        compacted sub-batch per tick (cost-bounding; more simultaneous
+        escapes fall back to one full-batch full-frame tick).
 
         overload: mass-pending policy for the device scheduler — "full"
         (one full-batch detect tick) or "rotate" (bounded-cost FIFO
@@ -316,7 +357,8 @@ class BatchedTracker:
          self._step_auto, self._step_scan) = \
             make_batched_steps(self.cascade, self.config, frame_shape, mesh,
                                bucket=self.bucket, band=band,
-                               overload=overload)
+                               overload=overload,
+                               escape_bucket=escape_bucket)
         state1 = ft.init_state(self.config.whitebalancing)
         self.state = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(), state1)

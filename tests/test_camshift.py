@@ -243,6 +243,56 @@ def test_serving_band_track_step_equals_fullframe(rng):
                                       err_msg=fld)
 
 
+def test_serving_band_escape_bucket_branches(rng):
+    """The escape fallback is COST-BOUNDED (docs/PERFORMANCE.md: the old
+    any-escape full-batch recompute scaled its frequency with N): with
+    escape_bucket=1, one escaping stream takes the compacted-sub-batch
+    branch and two take the full-batch branch — both must equal the
+    full-frame step exactly for every stream."""
+    import headtrackr_tpu as ht
+    from headtrackr_tpu.config import TrackerConfig
+    from headtrackr_tpu.models import facetracker as ft
+    from headtrackr_tpu.runtime.serving import make_batched_steps
+
+    H, W = 240, 320
+    frames_np = [_blob_frame(rng, H, W, 40 + 30 * i, 60 + 20 * i)
+                 for i in range(4)]
+    big = (10, 10, 280, 200)     # escapes the (128, 192) band
+    small = (0, 0, 14, 18)       # window origin near the blob, stays put
+    base = ft.init_state(True)
+
+    def mk_state(rects):
+        sts = []
+        for i, rect in enumerate(rects):
+            cs_st = mc.init_tracker(jnp.asarray(frames_np[i]),
+                                    jnp.asarray(rect, jnp.int32))
+            sts.append(base._replace(mode=jnp.int32(ft.MODE_CS), cs=cs_st,
+                                     face_found=jnp.bool_(True)))
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *sts)
+
+    frames = jnp.stack([jnp.asarray(f) for f in frames_np])
+    cfg = TrackerConfig(ui=False)
+    cascade = ht.toy_cascade()
+    _, tr_band, _, _, _ = make_batched_steps(
+        cascade, cfg, (H, W), donate=False, band="auto", escape_bucket=1)
+    _, tr_full, _, _, _ = make_batched_steps(cascade, cfg, (H, W),
+                                             donate=False, band=None)
+
+    win = lambda i: (38 + 30 * i, 58 + 20 * i, 16, 20)
+    for rects, tag in ((
+            [win(0), big, win(2), win(3)], "1 escape -> few branch"), (
+            [big, win(1), big, win(3)], "2 escapes -> many branch")):
+        state = mk_state(rects)
+        stb, outb = tr_band(jax.tree_util.tree_map(jnp.copy, state), frames)
+        stf, outf = tr_full(jax.tree_util.tree_map(jnp.copy, state), frames)
+        np.testing.assert_array_equal(np.asarray(stb.cs.window),
+                                      np.asarray(stf.cs.window), err_msg=tag)
+        for fld in ("face_x", "face_y", "face_w", "face_h", "mode_after"):
+            np.testing.assert_array_equal(np.asarray(getattr(outb, fld)),
+                                          np.asarray(getattr(outf, fld)),
+                                          err_msg=f"{tag}: {fld}")
+
+
 def test_pick_block_exact_divisors():
     """block=None picks a 128-multiple EXACT divisor (padding measurably
     slows the scan on TPU — docs/PERFORMANCE.md); awkward sizes fall back.
