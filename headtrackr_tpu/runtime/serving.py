@@ -264,13 +264,22 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
             st, out = wbtrack(state, frames)
             return st._replace(pend_age=jnp.zeros_like(age)), out
 
-        branches = [b_track, b_bucket, b_chunks,
-                    b_chunks if overload == "rotate" else b_full, b_wbtrack]
-        sel = jnp.where(npend == 0, 0,
-                        jnp.where(npend_vj == 0, 4,
-                                  jnp.where(npend <= bucket, 1,
-                                            jnp.where(npend <= chunk_cap,
-                                                      2, 3))))
+        if overload == "rotate":
+            # overflow routes to the SAME b_chunks branch index (nchunks
+            # saturates at nchunks_max): listing b_chunks twice would trace
+            # the chunk machinery into the switch twice, doubling program
+            # size for an identical branch body
+            branches = [b_track, b_bucket, b_chunks, b_wbtrack]
+            sel = jnp.where(npend == 0, 0,
+                            jnp.where(npend_vj == 0, 3,
+                                      jnp.where(npend <= bucket, 1, 2)))
+        else:
+            branches = [b_track, b_bucket, b_chunks, b_full, b_wbtrack]
+            sel = jnp.where(npend == 0, 0,
+                            jnp.where(npend_vj == 0, 4,
+                                      jnp.where(npend <= bucket, 1,
+                                                jnp.where(npend <= chunk_cap,
+                                                          2, 3))))
         return jax.lax.switch(sel, branches, state, frames)
 
     def scan_steps(state, frames_seq):

@@ -112,6 +112,19 @@ def main():
     ap.add_argument("--bucket", type=int, default=8)
     ap.add_argument("--split", action="store_true",
                     help="also piece-split the band track step at each N")
+    ap.add_argument("--split-only", action="store_true",
+                    help="skip the serving arms; just run the piece-split "
+                         "(isolates raw step scaling from scheduler/fanout)")
+    ap.add_argument("--escape-stats", action="store_true",
+                    help="also count band escapes per tick at each N "
+                         "(r3 measured: 0 at 256 and 512 on the bench "
+                         "workload)")
+    ap.add_argument("--overload", type=str, default="full",
+                    help="comma list of overload policies to arm ('full', "
+                         "'rotate'): 'rotate' drops the full-batch detect "
+                         "branch from the program — tests whether that "
+                         "branch's buffer reservation is what degrades the "
+                         "whole serving program at large N")
     ap.add_argument("--band", type=str, default="auto",
                     help="'auto' | 'none' | 'both' — band-local camshift "
                          "arms (the escape cond's full-batch fallback fires "
@@ -119,8 +132,18 @@ def main():
                          "with N: the band arm isolates that)")
     args = ap.parse_args()
     sizes = [int(s) for s in args.streams.split(",")]
+    if args.split_only:
+        import headtrackr_tpu as ht
+        ht.enable_compilation_cache(_os.environ.get(
+            "HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
+        for N in sizes:
+            res = split_at(N)
+            parts = " ".join(f"{k}={v:.2f}" for k, v in res.items())
+            print(f"split N={N}: {parts} ms/tick", flush=True)
+        return
     bands = {"auto": ["auto"], "none": [None],
              "both": ["auto", None]}[args.band]
+    overloads = args.overload.split(",")
 
     import jax
     import jax.numpy as jnp
@@ -143,18 +166,21 @@ def main():
         print(f"# N={N}: pool upload {time.time() - t0:.0f}s", file=_sys.stderr)
         pools[N] = pool
         for band in bands:
+          for ovl in overloads:
             t0 = time.time()
             bt = ht.BatchedTracker(N, frame_shape=(H, W), ui=False,
-                                   bucket=args.bucket, band=band)
+                                   bucket=args.bucket, band=band,
+                                   overload=ovl)
             bt.warmup(scan_len=args.pool, host_sched=False)
             for _ in range(16):
                 bt.step_auto(pool[0])
             locked = (bt.modes == ftm.MODE_CS).mean()
-            print(f"# N={N} band={band}: compile+lock {time.time() - t0:.0f}s, "
-                  f"{100 * locked:.0f}% locked", file=_sys.stderr)
+            print(f"# N={N} band={band} ovl={ovl}: compile+lock "
+                  f"{time.time() - t0:.0f}s, {100 * locked:.0f}% locked",
+                  file=_sys.stderr)
             bt.run_scan(pool)
             np.asarray(bt.modes)
-            arms[(N, band)] = bt
+            arms[(N, band, ovl)] = bt
 
     times = {k: [] for k in arms}
     for rep in range(args.reps):
@@ -164,19 +190,24 @@ def main():
             out = bt.run_scan(pool)
             np.asarray(out.mode_after[-1])
             times[key].append(time.time() - t0)
+    for key, bt in arms.items():
+        locked = (bt.modes == ftm.MODE_CS).mean()
+        print(f"# arm {key}: {100 * locked:.0f}% locked after timed reps",
+              file=_sys.stderr)
     base = None
-    for (N, band), ts in times.items():
+    for (N, band, ovl), ts in times.items():
         ms = 1000 * np.asarray(ts) / args.pool
         fps = N * args.pool / np.asarray(ts)
         per = ms.min() / N  # min = least tunnel noise
         if base is None:
             base = per
-        print(f"N={N:4d} band={str(band):5s}: {ms.mean():.2f} ms/tick "
+        print(f"N={N:4d} band={str(band):5s} ovl={ovl:6s}: "
+              f"{ms.mean():.2f} ms/tick "
               f"(min {ms.min():.2f}) -> {fps.mean():.0f} fps mean / "
               f"{fps.max():.0f} best; per-stream {1000 * per:.1f} us "
               f"(x{per / base:.2f} vs first)")
 
-    if "auto" in bands:
+    if "auto" in bands and args.escape_stats:
         # Escape-rate measurement: the band step's full-batch fallback fires
         # on ANY stream escaping, so P(fallback/tick) = 1-(1-p)^N grows with
         # N even at constant per-stream rate p.
@@ -184,7 +215,7 @@ def main():
         from headtrackr_tpu.models import facetracker as ftb
 
         for N in sizes:
-            bt = arms[(N, "auto")]
+            bt = arms[(N, "auto", overloads[0])]
             banded = jax.jit(jax.vmap(ftb.make_step(
                 bt.cascade, bt.config, (H, W), "track",
                 band=csm.DEFAULT_BAND)))
