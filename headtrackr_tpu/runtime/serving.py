@@ -115,8 +115,11 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
                 safe = jnp.minimum(idx, N - 1)
                 sub_state = jax.tree_util.tree_map(lambda a: a[safe], state)
                 # ``plain`` is a vmapped step: shape-polymorphic over the
-                # leading axis, so it serves the small sub-batch directly
-                st2, out2 = plain(sub_state, frames[safe])
+                # leading axis, so it serves the small sub-batch directly.
+                # optimization_barrier: same multi-consumer u8-gather
+                # miscompile hazard as _apply_bucket (see there).
+                st2, out2 = plain(sub_state,
+                                  jax.lax.optimization_barrier(frames[safe]))
                 valid = idx < N
 
                 def scatter(buf, sub):
@@ -161,7 +164,16 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
         N = frames.shape[0]
         safe = jnp.minimum(idx, N - 1)
         sub_state = jax.tree_util.tree_map(lambda a: a[safe], state1)
-        sub_frames = frames[safe]
+        # optimization_barrier: when the u8 frames buffer ALSO feeds the
+        # full-batch track pass, XLA:TPU fuses this gather into the
+        # sub-step's channel slices and miscompiles the size-3 minor axis —
+        # every channel read returns channel 0 (R), so the camshift init
+        # histogram lands in the r-replicated bin with ZERO backprojection
+        # mass and the lock collapses next tick (measured r3: relocked
+        # streams flapped VJ<->CS every tick, 5x steady cost; the isolated
+        # unfused gather is correct).  The barrier materializes the
+        # gathered sub-frames so consumers read a fresh dense buffer.
+        sub_frames = jax.lax.optimization_barrier(frames[safe])
         sub_state2, sub_out = full(sub_state, sub_frames)
         # apply only to valid, still-non-CS streams (a stream that re-locked
         # between mode syncs already advanced via the track pass above)
