@@ -154,6 +154,59 @@ def run_device_serving(clip, exact):
                     np.asarray(out.face_h)[:, 0].tolist()))
 
 
+def run_relock_gate(clip):
+    """Multi-stream bucket-relock stability gate (r3 regression check).
+
+    XLA:TPU miscompiled the u8 frame gather feeding bucket sub-batches
+    (channel slices all read R) when the frames buffer also fed the
+    full-batch track pass: relocked streams got a model histogram with
+    zero backprojection mass and flapped VJ<->CS every tick
+    (runtime/serving.py _apply_bucket barrier).  n_streams=1 does not
+    trigger the fusion, so this gate runs 8 streams, blue-frames three of
+    them mid-clip (camshift zero-mass loss), and requires every stream to
+    relock via the bucket/chunk scheduler and STAY locked."""
+    import jax
+    import jax.numpy as jnp
+
+    import headtrackr_tpu as ht
+    from headtrackr_tpu.cascade import frontalface
+    from headtrackr_tpu.config import TrackerConfig
+    from headtrackr_tpu.models import facetracker as ft
+    from headtrackr_tpu.runtime.serving import make_batched_steps
+
+    ht.enable_compilation_cache(
+        os.environ.get("HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
+    N = 8
+    T = len(clip)
+    loss_t = 25
+    frames = np.broadcast_to(clip[:, None], (T, N) + clip.shape[1:]).copy()
+    blue = np.zeros_like(clip[0])
+    blue[..., 2] = 250
+    frames[loss_t, :3] = blue
+
+    cfg = TrackerConfig(smoothing=False, headPosition=False)
+    _, _, _, _, step_scan = make_batched_steps(
+        frontalface(), cfg, (240, 320), bucket=2, band="auto", donate=False)
+    state1 = ft.init_state(cfg.whitebalancing)
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (N,) + np.shape(x)).copy(),
+        state1)
+    t0 = time.time()
+    _, out = step_scan(state, jnp.asarray(frames))
+    det = np.asarray(out.detection)
+    print(f"#   relock-gate run: {time.time() - t0:.0f}s incl. compile",
+          file=sys.stderr)
+    # all streams locked before the loss, and re-locked WITHIN 3 ticks of
+    # the loss with no flap afterwards
+    pre = (det[loss_t - 1] == 2).all()
+    post = (det[loss_t + 3:] == 2).all()
+    relock_ticks = int(np.argmax((det[loss_t:, :3] == 2).all(1)))
+    print(f"serving relock gate: pre-loss all CS: {bool(pre)} | "
+          f"relock after {relock_ticks} ticks | "
+          f"stable post-relock: {bool(post)}")
+    return bool(pre) and bool(post)
+
+
 def compare(tag, oracle_rows, dev_rows):
     modes = {"WB": 0, "VJ": 1, "CS": 2}
     n = exact_n = 0
@@ -209,11 +262,14 @@ def main():
     # camshift) within 0.99 in both modes.  The degenerate clip is reported
     # as the documented worst case (f32-vs-f64 truncation races;
     # docs/PARITY.md).
+    relock_ok = run_relock_gate(build_clip(args.frames, noise=3))
     ok = (results[(3, True)][0] >= 0.999 and results[(3, False)][1] >= 0.99
           and results[(3, True, "band")][1] >= 0.99
-          and results[(3, False, "band")][1] >= 0.99)
+          and results[(3, False, "band")][1] >= 0.99
+          and relock_ok)
     print(f"gate (realistic clip: exact bit-perfect, fast/serving mean IoU "
-          f">= 0.99): {'PASS' if ok else 'FAIL'}")
+          f">= 0.99, multi-stream bucket relock stable): "
+          f"{'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
 
