@@ -126,10 +126,9 @@ def main():
                          "branch's buffer reservation is what degrades the "
                          "whole serving program at large N")
     ap.add_argument("--band", type=str, default="auto",
-                    help="'auto' | 'none' | 'both' — band-local camshift "
-                         "arms (the escape cond's full-batch fallback fires "
-                         "on ANY stream escaping, so its frequency grows "
-                         "with N: the band arm isolates that)")
+                    help="comma list of band arms: 'auto' | 'none' | "
+                         "explicit HxW sizes (e.g. '128x192,96x160,64x128' "
+                         "for the band-size sweep); 'both' = auto,none")
     args = ap.parse_args()
     sizes = [int(s) for s in args.streams.split(",")]
     if args.split_only:
@@ -141,8 +140,18 @@ def main():
             parts = " ".join(f"{k}={v:.2f}" for k, v in res.items())
             print(f"split N={N}: {parts} ms/tick", flush=True)
         return
-    bands = {"auto": ["auto"], "none": [None],
-             "both": ["auto", None]}[args.band]
+    def parse_band(tok):
+        if tok == "auto":
+            return "auto"
+        if tok == "none":
+            return None
+        h, w = tok.split("x")
+        return (int(h), int(w))
+
+    if args.band == "both":
+        bands = ["auto", None]
+    else:
+        bands = [parse_band(t) for t in args.band.split(",")]
     overloads = args.overload.split(",")
 
     import jax
@@ -201,7 +210,7 @@ def main():
         per = ms.min() / N  # min = least tunnel noise
         if base is None:
             base = per
-        print(f"N={N:4d} band={str(band):5s} ovl={ovl:6s}: "
+        print(f"N={N:4d} band={str(band):10s} ovl={ovl:6s}: "
               f"{ms.mean():.2f} ms/tick "
               f"(min {ms.min():.2f}) -> {fps.mean():.0f} fps mean / "
               f"{fps.max():.0f} best; per-stream {1000 * per:.1f} us "
