@@ -216,18 +216,20 @@ def main():
               f"{fps.max():.0f} best; per-stream {1000 * per:.1f} us "
               f"(x{per / base:.2f} vs first)")
 
-    if "auto" in bands and args.escape_stats:
-        # Escape-rate measurement: the band step's full-batch fallback fires
-        # on ANY stream escaping, so P(fallback/tick) = 1-(1-p)^N grows with
-        # N even at constant per-stream rate p.
+    if args.escape_stats:
+        # Escape-rate measurement per band arm: escaped ticks pay the
+        # compacted full-frame recompute (escape_bucket), so a band that is
+        # too small for the workload's window sizes loses its pdf savings.
         from headtrackr_tpu.models import camshift as csm
         from headtrackr_tpu.models import facetracker as ftb
 
-        for N in sizes:
-            bt = arms[(N, "auto", overloads[0])]
+        for (N, band, ovl) in list(arms):
+            if ovl != overloads[0] or band is None:
+                continue
+            bt = arms[(N, band, ovl)]
+            bsz = csm.DEFAULT_BAND if band == "auto" else band
             banded = jax.jit(jax.vmap(ftb.make_step(
-                bt.cascade, bt.config, (H, W), "track",
-                band=csm.DEFAULT_BAND)))
+                bt.cascade, bt.config, (H, W), "track", band=bsz)))
             st = bt.state
             pool = pools[N]
             nesc = tick_esc = 0
@@ -236,7 +238,7 @@ def main():
                 e = np.asarray(esc)
                 nesc += int(e.sum())
                 tick_esc += int(e.any())
-            print(f"escapes N={N}: {nesc} stream-ticks "
+            print(f"escapes N={N} band={band}: {nesc} stream-ticks "
                   f"({100 * nesc / (N * args.pool):.2f}%/stream), "
                   f"{tick_esc}/{args.pool} ticks had >=1 escape "
                   f"(fallback rate {100 * tick_esc / args.pool:.0f}%)")
