@@ -28,6 +28,11 @@ __all__ = ["CamshiftState", "init_state", "init_tracker", "track",
            "track_band", "mean_shift", "camshift_step", "DEFAULT_BAND"]
 
 MEANSHIFT_ITERS = 10  # src/camshift.js:277
+# Trace-time knob: fully unroll the 10-trip mean-shift loop (the body is a
+# serial chain of tiny dots/reductions — unrolling removes per-iteration
+# loop overhead and lets XLA fuse across iterations).  A/B on the chip with
+# tools/exp_unroll_ab.py; identical numerics either way.
+MEANSHIFT_UNROLL = False
 
 
 class CamshiftState(NamedTuple):
@@ -229,7 +234,8 @@ def _mean_shift_core(pdf, window, exact, ry, rx, H, W):
     init = (window, window[0], window[1], jnp.bool_(False),
             jnp.bool_(False), zeros3, (zi, zi, zi, zi))
     win, _, _, _, esc, m, wad = jax.lax.fori_loop(
-        0, MEANSHIFT_ITERS, body, init)
+        0, MEANSHIFT_ITERS, body, init,
+        unroll=MEANSHIFT_ITERS if MEANSHIFT_UNROLL else 1)
 
     win = win.at[0].set(jnp.clip(win[0], 0, W)).at[1].set(jnp.clip(win[1], 0, H))
     m00, m10, m01 = m

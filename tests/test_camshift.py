@@ -150,6 +150,33 @@ def test_exact_flag_identical_on_cpu(rng):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_meanshift_unroll_identical(rng):
+    """MEANSHIFT_UNROLL statically expands the 10-trip fori_loop (perf knob
+    for the chip, tools/exp_unroll_ab.py); results must be bit-identical."""
+    H, W = 60, 80
+    f0 = _blob_frame(rng, H, W, 30, 25)
+    rect = (24, 17, 12, 16)
+    st_l = mc.init_tracker(jnp.asarray(f0), jnp.asarray(rect, jnp.int32))
+    st_u = mc.init_tracker(jnp.asarray(f0), jnp.asarray(rect, jnp.int32))
+    # jit traces lazily — force each arm's trace while its flag value is set
+    loop = jax.jit(lambda s, f: mc.track(s, f, True))
+    loop(st_l, jnp.asarray(f0))  # trace now, with MEANSHIFT_UNROLL=False
+    mc.MEANSHIFT_UNROLL = True
+    try:
+        unrolled = jax.jit(lambda s, f: mc.track(s, f, True))
+        unrolled(st_u, jnp.asarray(f0))  # trace with MEANSHIFT_UNROLL=True
+        for t in range(6):
+            f1 = _blob_frame(rng, H, W, 30 + t, 25 + t)
+            st_l, pdf_l = loop(st_l, jnp.asarray(f1))
+            st_u, pdf_u = unrolled(st_u, jnp.asarray(f1))
+            np.testing.assert_array_equal(np.asarray(pdf_l), np.asarray(pdf_u))
+            for a, b in zip(jax.tree_util.tree_leaves(st_l),
+                            jax.tree_util.tree_leaves(st_u)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        mc.MEANSHIFT_UNROLL = False
+
+
 def test_track_band_parity_vs_oracle(rng):
     """Band-local camshift (mc.track_band, the serving fast path): identical
     window updates to the f64 oracle on a 240x320 moving-blob clip, with the
