@@ -93,6 +93,14 @@ def main():
                          "loss rate — the detector's cost on a redetect tick "
                          "scales with this, measured 28.0k fps at 32 vs "
                          "34.7k at 8)")
+    ap.add_argument("--band", type=str, default="auto",
+                    help="camshift band-local tracking: 'auto' "
+                         "(models/camshift.DEFAULT_BAND), 'none' "
+                         "(full-frame), or HxW (e.g. 96x128). A band is a "
+                         "capacity knob like --bucket: it must hold the "
+                         "workload's search windows (escaped windows are "
+                         "recomputed full-frame, cost-bounded but slower); "
+                         "this workload's windows are <=60 px")
     ap.add_argument("--latency-ticks", type=int, default=50)
     ap.add_argument("--h2d", action="store_true",
                     help="also measure true end-to-end ingest (fresh host "
@@ -124,8 +132,15 @@ def main():
     rng = np.random.default_rng(0)
     pool_np = build_pool(N, H, W, args.pool, args.loss_streams, rng)
 
+    if args.band == "auto":
+        band = "auto"
+    elif args.band == "none":
+        band = None
+    else:
+        bh, bw = args.band.split("x")
+        band = (int(bh), int(bw))
     bt = ht.BatchedTracker(N, frame_shape=(H, W), ui=False,
-                           bucket=args.bucket)
+                           bucket=args.bucket, band=band)
 
     print("# compiling (device-scheduled step + scan program)...",
           file=sys.stderr)
@@ -214,7 +229,7 @@ def main():
               f"tunnel-bound, not compute-bound)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "320x240 detect+track frames/sec/chip (256-stream serving; "
+        "metric": f"320x240 detect+track frames/sec/chip ({N}-stream serving; "
                   "fresh frame content every tick, losses+redetects in timed "
                   "region, device-scheduled)",
         "value": round(fps, 1),
