@@ -320,6 +320,48 @@ def test_serving_band_escape_bucket_branches(rng):
                                           err_msg=f"{tag}: {fld}")
 
 
+def test_serving_custom_band_sizes_equal_fullframe(rng):
+    """bench --band / BatchedTracker(band=(bh, bw)) accepts arbitrary sizes;
+    any band (tiny, tall, frame-covering) must serve results identical to the
+    full-frame step — escapes are handled transparently."""
+    import headtrackr_tpu as ht
+    from headtrackr_tpu.config import TrackerConfig
+    from headtrackr_tpu.models import facetracker as ft
+    from headtrackr_tpu.runtime.serving import make_batched_steps
+
+    H, W = 120, 160
+    frames_np = [_blob_frame(rng, H, W, 30 + 20 * i, 40 + 15 * i)
+                 for i in range(3)]
+    base = ft.init_state(True)
+    sts = []
+    rects = [(28, 38, 12, 14), (5, 5, 100, 80), (68, 68, 16, 12)]
+    for i, rect in enumerate(rects):
+        cs_st = mc.init_tracker(jnp.asarray(frames_np[i]),
+                                jnp.asarray(rect, jnp.int32))
+        sts.append(base._replace(mode=jnp.int32(ft.MODE_CS), cs=cs_st,
+                                 face_found=jnp.bool_(True)))
+    state = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *sts)
+    frames = jnp.stack([jnp.asarray(f) for f in frames_np])
+
+    cfg = TrackerConfig(ui=False)
+    cascade = ht.toy_cascade()
+    _, tr_full, _, _, _ = make_batched_steps(cascade, cfg, (H, W),
+                                             donate=False, band=None)
+    stf, outf = tr_full(jax.tree_util.tree_map(jnp.copy, state), frames)
+
+    for band in ((24, 32), (96, 32), (32, 152), (128, 192)):
+        _, tr_band, _, _, _ = make_batched_steps(
+            cascade, cfg, (H, W), donate=False, band=band, escape_bucket=2)
+        stb, outb = tr_band(jax.tree_util.tree_map(jnp.copy, state), frames)
+        np.testing.assert_array_equal(np.asarray(stb.cs.window),
+                                      np.asarray(stf.cs.window),
+                                      err_msg=str(band))
+        for fld in ("face_x", "face_y", "face_w", "face_h", "mode_after"):
+            np.testing.assert_array_equal(np.asarray(getattr(outb, fld)),
+                                          np.asarray(getattr(outf, fld)),
+                                          err_msg=f"{band}: {fld}")
+
+
 def test_pick_block_exact_divisors():
     """block=None picks a 128-multiple EXACT divisor (padding measurably
     slows the scan on TPU — docs/PERFORMANCE.md); awkward sizes fall back.
