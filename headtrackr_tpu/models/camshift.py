@@ -25,7 +25,8 @@ from ..ops.histogram import (backprojection_weights, histogram_and_pdf,
                              rgb_bins)
 
 __all__ = ["CamshiftState", "init_state", "init_tracker", "track",
-           "track_band", "mean_shift", "camshift_step", "DEFAULT_BAND"]
+           "track_band", "mean_shift", "camshift_step", "DEFAULT_BAND",
+           "BAND_SLACK", "band_for"]
 
 MEANSHIFT_ITERS = 10  # src/camshift.js:277
 # Trace-time knob: fully unroll the 10-trip mean-shift loop (the body is a
@@ -324,6 +325,34 @@ def track(state, frame_rgb, calc_angles=True, exact=False, block=None):
 # windows (or trajectories reaching the band edge) raise ``escaped`` and the
 # serving scheduler recomputes those ticks full-frame (runtime/serving.py).
 DEFAULT_BAND = (128, 192)
+
+# Empirical escape-free slack per band dimension (tools/exp_band_rule.py):
+# up to 8 px of 8-aligned band re-centering + the per-tick mean-shift
+# trajectory + the 1.1x window growth (src/camshift.js:257-258).
+BAND_SLACK = 24
+
+
+def band_for(max_window, frame_shape=(240, 320)):
+    """Smallest escape-free band (rows, cols) for search windows up to
+    ``max_window`` = (h, w) px — the sizing rule behind
+    ``BatchedTracker(band=...)``.
+
+    Each band dimension is the window dimension plus BAND_SLACK, rounded up
+    to the 8-px dynamic_slice alignment and clipped to the frame.  Search
+    windows run ~1.3x the tracked face size (the camshift window is the
+    1.1x-grown moment box, src/camshift.js:257-258), so size from the
+    largest face you expect, not the VJ handoff rect.  Undersized bands are
+    safe — escapes recompute full-frame (slower, never wrong).
+
+    TPU note: the band's minor (cols) axis is lane-tiled in multiples of
+    128, so widths in (0, 128] cost the same vector work — the on-chip
+    sweep arms in tools/exp_streams_ab.py measure the real cost steps.
+    """
+    wh, ww = int(max_window[0]), int(max_window[1])
+    H, W = int(frame_shape[0]), int(frame_shape[1])
+    bh = min(-(-(wh + BAND_SLACK) // 8) * 8, H)
+    bw = min(-(-(ww + BAND_SLACK) // 8) * 8, W)
+    return (bh, bw)
 
 
 def track_band(state, frame_rgb, calc_angles=True, exact=False,

@@ -230,6 +230,41 @@ def test_track_band_escape_flag(rng):
     assert bool(esc)
 
 
+def test_band_for_sizing_rule(rng):
+    """mc.band_for: 8-aligned, window+BAND_SLACK covering, frame-clipped —
+    and the returned band actually tracks a blob of that window class
+    escape-free (the rule tools/exp_band_rule.py measured)."""
+    # arithmetic properties
+    assert mc.band_for((39, 39)) == (64, 64)
+    assert mc.band_for((70, 70)) == (96, 96)
+    assert mc.band_for((101, 101)) == (128, 128)
+    assert mc.band_for((17, 17)) == (48, 48)
+    assert mc.band_for((230, 310)) == (240, 320)          # frame clip
+    assert mc.band_for((64, 64), (48, 80)) == (48, 80)    # small frame clip
+    for wh in (10, 33, 57, 120):
+        bh, bw = mc.band_for((wh, wh))
+        assert bh % 8 == 0 and bw % 8 == 0
+        assert bh >= min(wh + mc.BAND_SLACK, 240)
+
+    # end-to-end: 32-px blob reaches a ~39x39 steady window; band_for of
+    # that class must run escape-free where (48, 64) escapes ~every tick
+    H, W, s = 240, 320, 32
+    bg = rng.integers(60, 90, (H, W, 3), dtype=np.uint8)
+    frames = []
+    for t in range(14):
+        f = bg.copy()
+        f[104:104 + s, 40 + 2 * t:40 + 2 * t + s] = (210, 120, 60)
+        frames.append(f)
+    st = mc.init_tracker(jnp.asarray(frames[0]),
+                         jnp.asarray((40, 104, s, s), jnp.int32))
+    band = mc.band_for((int(1.3 * s) + 1, int(1.3 * s) + 1))
+    step = jax.jit(lambda s_, f_: mc.track_band(s_, f_, True, band=band))
+    for f in frames[1:]:
+        st, esc = step(st, jnp.asarray(f))
+        assert not bool(esc)
+    assert int(st.track_w) > 0
+
+
 def test_serving_band_track_step_equals_fullframe(rng):
     """make_batched_steps band path: a batch mixing a normal stream and an
     escaping stream produces exactly the full-frame results for both (the
