@@ -93,14 +93,18 @@ def main():
                          "loss rate — the detector's cost on a redetect tick "
                          "scales with this, measured 28.0k fps at 32 vs "
                          "34.7k at 8)")
-    ap.add_argument("--band", type=str, default="auto",
+    ap.add_argument("--band", type=str, default="96x128",
                     help="camshift band-local tracking: 'auto' "
                          "(models/camshift.DEFAULT_BAND), 'none' "
-                         "(full-frame), or HxW (e.g. 96x128). A band is a "
-                         "capacity knob like --bucket: it must hold the "
-                         "workload's search windows (escaped windows are "
-                         "recomputed full-frame, cost-bounded but slower); "
-                         "this workload's windows are <=60 px")
+                         "(full-frame), or HxW. A band is a capacity knob "
+                         "like --bucket: it must hold the workload's search "
+                         "windows (escaped windows are recomputed "
+                         "full-frame, cost-bounded but slower). Default is "
+                         "sized for THIS workload's <=60 px windows by the "
+                         "band_for rule (window+24, models/camshift.band_for)"
+                         " and pre-qualified escape-free on it "
+                         "(tools/exp_band_escape.py: 0 escapes, windows "
+                         "bit-match full-frame)")
     ap.add_argument("--latency-ticks", type=int, default=50)
     ap.add_argument("--h2d", action="store_true",
                     help="also measure true end-to-end ingest (fresh host "
