@@ -120,7 +120,7 @@ def run_device(clip, exact):
                     np.asarray(h).tolist()))
 
 
-def run_device_serving(clip, exact):
+def run_device_serving(clip, exact, band="auto"):
     """The PRODUCTION serving path: device-scheduled step_scan (wbtrack /
     bucket / band-local camshift with escape fallback) at n_streams=1."""
     import jax
@@ -137,7 +137,7 @@ def run_device_serving(clip, exact):
     cfg = TrackerConfig(smoothing=False, headPosition=False,
                         exactCamshift=exact)
     _, _, _, _, step_scan = make_batched_steps(
-        frontalface(), cfg, (240, 320), bucket=1, band="auto", donate=False)
+        frontalface(), cfg, (240, 320), bucket=1, band=band, donate=False)
 
     state1 = ft.init_state(cfg.whitebalancing)
     state = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], state1)
@@ -154,7 +154,7 @@ def run_device_serving(clip, exact):
                     np.asarray(out.face_h)[:, 0].tolist()))
 
 
-def run_relock_gate(clip):
+def run_relock_gate(clip, band="auto"):
     """Multi-stream bucket-relock stability gate (r3 regression check).
 
     XLA:TPU miscompiled the u8 frame gather feeding bucket sub-batches
@@ -186,7 +186,7 @@ def run_relock_gate(clip):
 
     cfg = TrackerConfig(smoothing=False, headPosition=False)
     _, _, _, _, step_scan = make_batched_steps(
-        frontalface(), cfg, (240, 320), bucket=2, band="auto", donate=False)
+        frontalface(), cfg, (240, 320), bucket=2, band=band, donate=False)
     state1 = ft.init_state(cfg.whitebalancing)
     state = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(jnp.asarray(x), (N,) + np.shape(x)).copy(),
@@ -233,7 +233,19 @@ def compare(tag, oracle_rows, dev_rows):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--band", type=str, default="auto",
+                    help="serving band to gate: 'auto' "
+                         "(models/camshift.DEFAULT_BAND), 'none', or HxW — "
+                         "use the bench's band (bench.py --band default) to "
+                         "gate the exact benched configuration")
     args = ap.parse_args()
+    if args.band == "auto":
+        band = "auto"
+    elif args.band == "none":
+        band = None
+    else:
+        bh, bw = args.band.split("x")
+        band = (int(bh), int(bw))
 
     import jax
     print(f"# backend: {jax.devices()}", file=sys.stderr)
@@ -251,7 +263,7 @@ def main():
             tag = "exactCamshift" if exact else "fast  (default)"
             results[(noise, exact)] = compare(tag, oracle_rows, dev_rows)
         for exact in (False, True):
-            dev_rows = run_device_serving(clip, exact)
+            dev_rows = run_device_serving(clip, exact, band)
             tag = ("serving band exact" if exact else "serving band fast ")
             results[(noise, exact, "band")] = compare(tag, oracle_rows,
                                                       dev_rows)
@@ -262,7 +274,7 @@ def main():
     # camshift) within 0.99 in both modes.  The degenerate clip is reported
     # as the documented worst case (f32-vs-f64 truncation races;
     # docs/PARITY.md).
-    relock_ok = run_relock_gate(build_clip(args.frames, noise=3))
+    relock_ok = run_relock_gate(build_clip(args.frames, noise=3), band)
     ok = (results[(3, True)][0] >= 0.999 and results[(3, False)][1] >= 0.99
           and results[(3, True, "band")][1] >= 0.99
           and results[(3, False, "band")][1] >= 0.99
