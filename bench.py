@@ -136,13 +136,8 @@ def main():
     rng = np.random.default_rng(0)
     pool_np = build_pool(N, H, W, args.pool, args.loss_streams, rng)
 
-    if args.band == "auto":
-        band = "auto"
-    elif args.band == "none":
-        band = None
-    else:
-        bh, bw = args.band.split("x")
-        band = (int(bh), int(bw))
+    from headtrackr_tpu.models.camshift import parse_band
+    band = parse_band(args.band)
     bt = ht.BatchedTracker(N, frame_shape=(H, W), ui=False,
                            bucket=args.bucket, band=band)
 

@@ -48,10 +48,15 @@ class TrackerConfig:
     maxCandidates: int = 256           # device-side grouping capacity
     survivorsStage2: int = 4096        # compaction width after stages 0-1
     survivorsDeep: int = 512           # compaction width after stages 2-5
-    histBlock: Optional[int] = None    # camshift histogram/pdf scan block
-                                       # size (None = auto _pick_block; the
-                                       # A/B knob behind the r3 block-cap
-                                       # measurements, tools/exp_scan_ab.py)
+    histBlock: Optional[int] = None    # FULL-FRAME camshift histogram/pdf
+                                       # scan block size (None = auto
+                                       # _pick_block; the A/B knob behind the
+                                       # r3 block-cap measurements,
+                                       # tools/exp_scan_ab.py).  The
+                                       # band-local pdf always auto-sizes to
+                                       # the band's own pixel count — a
+                                       # full-frame block value would not
+                                       # divide it.
     exactCamshift: bool = False        # True: bit-faithful f32 camshift math
                                        # on TPU (backprojection lookup + moment
                                        # prefix sums at Precision.HIGHEST,

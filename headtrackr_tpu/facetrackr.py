@@ -152,7 +152,10 @@ class Tracker:
                 "confidence": result.confidence,
                 "detection": result.detection, "time": result.time,
             })
-        return result
+        # clone, like getTrackingObject: the stored _curtracked must not
+        # alias a caller-mutable object (the reference's track() returns
+        # nothing, so this return is extra surface — keep it hazard-free)
+        return result.clone()
 
     def getTrackingObject(self):
         """src/facetrackr.js:128-130."""

@@ -26,7 +26,7 @@ from ..ops.histogram import (backprojection_weights, histogram_and_pdf,
 
 __all__ = ["CamshiftState", "init_state", "init_tracker", "track",
            "track_band", "mean_shift", "camshift_step", "DEFAULT_BAND",
-           "BAND_SLACK", "band_for"]
+           "BAND_SLACK", "band_for", "parse_band"]
 
 MEANSHIFT_ITERS = 10  # src/camshift.js:277
 # Trace-time knob: fully unroll the 10-trip mean-shift loop (the body is a
@@ -355,6 +355,19 @@ def band_for(max_window, frame_shape=(240, 320)):
     return (bh, bw)
 
 
+def parse_band(tok):
+    """CLI band token -> serving band value (the one parser shared by
+    bench.py / tools/verify_chip.py / tools/exp_streams_ab.py):
+    "auto" -> "auto" (DEFAULT_BAND upstream), "none" -> None (full-frame),
+    "HxW" -> (H, W)."""
+    if tok == "auto":
+        return "auto"
+    if tok == "none":
+        return None
+    h, w = tok.split("x")
+    return (int(h), int(w))
+
+
 def track_band(state, frame_rgb, calc_angles=True, exact=False,
                band=DEFAULT_BAND, block=None):
     """Band-local camshift step: same math as ``track`` with the pdf lookup
@@ -371,6 +384,10 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
     Returns (new_state, escaped).  When ``escaped`` is True the window's
     mean-shift trajectory left the band and new_state is INVALID — the
     caller must rerun the full-frame ``track`` on the old state.
+
+    block applies to the FULL-FRAME histogram scan only
+    (TrackerConfig.histBlock); the band pdf auto-sizes its scan block to
+    the band's own pixel count (a full-frame block would not divide it).
     """
     H, W = frame_rgb.shape[0], frame_rgb.shape[1]
     bh = min(band[0], H)

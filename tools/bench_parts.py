@@ -23,8 +23,8 @@ def main():
     ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--parts", type=str, default="all",
-                    help="comma list: rtt,h2d,track,trackband,histpdf,hist,"
-                         "pdfonly,meanshift,dispatch,bucket")
+                    help="comma list: rtt,h2d,track,trackband,bandparts,"
+                         "histpdf,hist,pdfonly,meanshift,dispatch,bucket")
     args = ap.parse_args()
     want = set(args.parts.split(",")) if args.parts != "all" else None
 

@@ -13,7 +13,6 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
-import functools
 import time
 
 import numpy as np
@@ -31,7 +30,6 @@ def main():
 
     from headtrackr_tpu.models import camshift as cs
     from headtrackr_tpu.models import facetracker as ft
-    from headtrackr_tpu.ops import histogram as hg
     from headtrackr_tpu.cascade import frontalface
     from headtrackr_tpu.config import TrackerConfig
 
@@ -39,7 +37,6 @@ def main():
     H, W = 240, 320
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 256, (N, H, W, 3), dtype=np.uint8))
-    cfg = TrackerConfig(ui=False)
     casc = frontalface()
     state1 = ft.init_state(True)
     state = jax.tree_util.tree_map(
@@ -47,10 +44,12 @@ def main():
     win = jnp.tile(jnp.asarray([100, 80, 50, 50], jnp.int32), (N, 1))
     state = state._replace(cs=state.cs._replace(window=win),
                            mode=jnp.full((N,), ft.MODE_CS, jnp.int32))
-    real = hg.histogram_scan
-
     for blk in [int(b) for b in args.blocks.split(",")]:
-        cs.histogram_scan = functools.partial(real, block=blk)
+        # NOTE: monkeypatching cs.histogram_scan with functools.partial(
+        # block=blk) is a silent no-op here — track_band passes
+        # block=config.histBlock explicitly and a call-site keyword
+        # overrides the partial's.  The config knob is the real path.
+        cfg = TrackerConfig(ui=False, histBlock=blk)
         step1 = ft.make_step(casc, cfg, (H, W), "track", band=cs.DEFAULT_BAND)
         vstep = jax.vmap(step1)
 
@@ -71,7 +70,6 @@ def main():
             print(f"hist_block={blk:6d}  {1000 * dt / n:.3f} ms/tick")
         except Exception as e:  # OOM etc.
             print(f"hist_block={blk:6d}  FAILED: {type(e).__name__}")
-    cs.histogram_scan = real
 
 
 if __name__ == "__main__":

@@ -35,7 +35,11 @@ def load_bench():
 
 
 def split_at(N, iters=20):
-    """Piece-stubbed marginal costs of the band track step at batch N."""
+    """Piece-stubbed marginal costs of the band track step at batch N.
+
+    NOTE: the no_hist/no_pdf/no_ms stubs mirror tools/exp_step_split.py's
+    (minus no_bins) — if _mean_shift_core or the scan signatures change,
+    update BOTH."""
     import jax
     import jax.numpy as jnp
     from headtrackr_tpu.models import camshift as cs
@@ -140,18 +144,10 @@ def main():
             parts = " ".join(f"{k}={v:.2f}" for k, v in res.items())
             print(f"split N={N}: {parts} ms/tick", flush=True)
         return
-    def parse_band(tok):
-        if tok == "auto":
-            return "auto"
-        if tok == "none":
-            return None
-        h, w = tok.split("x")
-        return (int(h), int(w))
-
     if args.band == "both":
         bands = ["auto", None]
     else:
-        bands = [parse_band(t) for t in args.band.split(",")]
+        bands = [cs.parse_band(t) for t in args.band.split(",")]
     overloads = args.overload.split(",")
 
     import jax

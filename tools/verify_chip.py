@@ -200,7 +200,9 @@ def run_relock_gate(clip, band="auto"):
     # the loss with no flap afterwards
     pre = (det[loss_t - 1] == 2).all()
     post = (det[loss_t + 3:] == 2).all()
-    relock_ticks = int(np.argmax((det[loss_t:, :3] == 2).all(1)))
+    relocked_rows = (det[loss_t:, :3] == 2).all(1)
+    relock_ticks = (int(np.argmax(relocked_rows)) if relocked_rows.any()
+                    else "NEVER")  # argmax of all-False is 0, not "never"
     print(f"serving relock gate: pre-loss all CS: {bool(pre)} | "
           f"relock after {relock_ticks} ticks | "
           f"stable post-relock: {bool(post)}")
@@ -239,13 +241,8 @@ def main():
                          "use the bench's band (bench.py --band default) to "
                          "gate the exact benched configuration")
     args = ap.parse_args()
-    if args.band == "auto":
-        band = "auto"
-    elif args.band == "none":
-        band = None
-    else:
-        bh, bw = args.band.split("x")
-        band = (int(bh), int(bw))
+    from headtrackr_tpu.models.camshift import parse_band
+    band = parse_band(args.band)
 
     import jax
     print(f"# backend: {jax.devices()}", file=sys.stderr)
