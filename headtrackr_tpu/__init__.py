@@ -40,7 +40,7 @@ from .api import Smoother, getWhitebalance  # noqa: E402
 from .runtime import events                 # noqa: E402
 from .runtime.tracker import Tracker        # noqa: E402
 from .runtime.ui import Ui                  # noqa: E402
-from .runtime.serving import BatchedTracker  # noqa: E402
+from .runtime.serving import BatchedTracker, plan_serving  # noqa: E402
 from .runtime.fanout import (StreamFanout, IngestRing,  # noqa: E402
                              BatchedSession)
 from .runtime.video import (ClipSource, SyntheticFaceSource,  # noqa: E402
@@ -54,6 +54,7 @@ __all__ = [
     "Cascade", "frontalface", "toy_cascade", "TrackerConfig",
     "ccv", "camshift", "facetrackr", "headposition", "controllers",
     "Smoother", "getWhitebalance", "Tracker", "Ui", "BatchedTracker",
+    "plan_serving",
     "StreamFanout", "IngestRing", "BatchedSession",
     "ClipSource", "SyntheticFaceSource", "CameraSource",
     "events", "cascade", "rev",

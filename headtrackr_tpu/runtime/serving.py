@@ -39,7 +39,49 @@ from ..config import TrackerConfig
 from ..models import camshift as cs_mod
 from ..models import facetracker as ft
 
-__all__ = ["BatchedTracker", "make_batched_steps"]
+__all__ = ["BatchedTracker", "make_batched_steps", "plan_serving"]
+
+
+def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
+                 simultaneous_losses=None, latency_sensitive=False):
+    """Capacity planner: BatchedTracker kwargs (+ a run_scan length) sized
+    to a deployment's workload by the rules measured on v5e
+    (docs/PERFORMANCE.md "Scaling" / "Round 2"):
+
+    - ``band``: camshift search windows run ~1.3x the tracked face, and an
+      escape-free band needs +24 px slack per dimension
+      (models/camshift.band_for; tools/exp_band_rule.py).  Undersized is
+      safe — escapes recompute full-frame (correct, slower).
+    - ``bucket``: ~2x the expected simultaneous-loss count.  A redetect
+      tick's detector cost scales with bucket whether or not the slots are
+      real (28.0k fps at bucket=32 vs 34.7k at 8 on the bench's 4-loss
+      workload); overflow between bucket and 4*bucket is served in chunks.
+      Default loss assumption: 2% of streams.
+    - ``overload``: "rotate" bounds per-tick cost under mass loss (FIFO by
+      pend_age, max wait ceil(npend/(4*bucket)) ticks) for
+      latency-sensitive serving; "full" relocks everyone in one slow tick.
+    - ``scan_len``: 16 ticks per run_scan dispatch amortizes the ~1.3 ms
+      host dispatch to ~0.1 ms/tick; latency-sensitive callers should
+      drive step_auto tick-by-tick instead (scan_len 1).
+
+    Returns a dict: band/bucket/overload are BatchedTracker kwargs;
+    scan_len is for warmup(scan_len=...)/run_scan.
+
+    >>> p = plan_serving(256, max_face_px=40)
+    >>> bt = BatchedTracker(256, band=p["band"], bucket=p["bucket"],
+    ...                     overload=p["overload"])
+    """
+    win = int(np.ceil(1.3 * max_face_px))
+    band = cs_mod.band_for((win, win), frame_shape)
+    if simultaneous_losses is None:
+        simultaneous_losses = max(1, round(0.02 * n_streams))
+    bucket = max(1, min(2 * int(simultaneous_losses), n_streams))
+    return {
+        "band": band,
+        "bucket": bucket,
+        "overload": "rotate" if latency_sensitive else "full",
+        "scan_len": 1 if latency_sensitive else 16,
+    }
 
 
 def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,

@@ -575,3 +575,30 @@ def test_camera_source_without_cv2(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_cv2)
     with pytest.raises(RuntimeError, match="no getUserMedia"):
         CameraSource()
+
+
+def test_plan_serving_rules():
+    """ht.plan_serving codifies the measured sizing rules: band via
+    band_for(1.3x face), bucket = 2x simultaneous losses (default 2% of
+    streams), overload/scan by latency preference — and its kwargs
+    construct a working BatchedTracker."""
+    from headtrackr_tpu.models.camshift import band_for
+
+    p = ht.plan_serving(256, max_face_px=40)
+    assert p["band"] == band_for((52, 52))         # ceil(1.3*40) = 52
+    assert p["bucket"] == 2 * max(1, round(0.02 * 256))
+    assert p["overload"] == "full" and p["scan_len"] == 16
+
+    p2 = ht.plan_serving(64, max_face_px=20, simultaneous_losses=3,
+                         latency_sensitive=True)
+    assert p2["bucket"] == 6
+    assert p2["overload"] == "rotate" and p2["scan_len"] == 1
+
+    # bucket never exceeds the stream count; band never exceeds the frame
+    p3 = ht.plan_serving(2, frame_shape=(60, 80), max_face_px=500,
+                         simultaneous_losses=99)
+    assert p3["bucket"] == 2 and p3["band"] == (60, 80)
+
+    bt = ht.BatchedTracker(4, frame_shape=(60, 80), band=p3["band"],
+                           bucket=p3["bucket"], overload=p3["overload"])
+    assert bt.bucket == 2
