@@ -52,8 +52,14 @@ def main():
             print(f"  stream {i}: {len(heads[i])} head events, "
                   f"last xyz=({e.x:.1f}, {e.y:.1f}, {e.z:.1f}) cm")
 
-    # --- 2/3. Raw device scheduling: step_auto and run_scan
-    bt = ht.BatchedTracker(N, frame_shape=(H, W), cascade=ht.toy_cascade())
+    # --- 2/3. Raw device scheduling: step_auto and run_scan.
+    # plan_serving sizes the capacity knobs (camshift band, redetect bucket,
+    # overload policy) from the workload by the measured v5e rules.
+    plan = ht.plan_serving(N, frame_shape=(H, W), max_face_px=24)
+    print(f"plan_serving: {plan}")
+    bt = ht.BatchedTracker(N, frame_shape=(H, W), cascade=ht.toy_cascade(),
+                           band=plan["band"], bucket=plan["bucket"],
+                           overload=plan["overload"])
     batch0 = np.stack([c[0] for c in clips])
     for _ in range(17):                      # lock phase, tick at a time
         out = bt.step_auto(batch0)
