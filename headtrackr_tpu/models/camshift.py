@@ -364,8 +364,13 @@ def parse_band(tok):
         return "auto"
     if tok == "none":
         return None
-    h, w = tok.split("x")
-    return (int(h), int(w))
+    try:
+        h, w = tok.split("x")
+        return (int(h), int(w))
+    except ValueError:
+        raise ValueError(
+            f"band must be 'auto', 'none', or HxW (e.g. 96x128); got "
+            f"{tok!r}") from None
 
 
 def track_band(state, frame_rgb, calc_angles=True, exact=False,

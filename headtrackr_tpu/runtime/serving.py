@@ -112,8 +112,12 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
     search window instead of the full frame (the histogram stays full-frame
     for parity).  "auto" = DEFAULT_BAND when smaller than the frame, else
     full-frame; None disables.  Escaped streams (window left its band —
-    rare) are recomputed with the full-frame track program under one
-    batch-level lax.cond, so results are ALWAYS full-frame-equal.
+    rare) are recomputed with the full-frame track program (exactly the
+    full-frame result).  Non-escaped streams' pdf values equal the
+    full-frame values exactly; their moment reductions sum the same pixels
+    in a different f32 association — the same accuracy class as the
+    full-frame step (docs/PARITY.md "First-moment accuracy"; equal on
+    every integer window path in the CPU suite).
 
     With a mesh, state and frames are sharded over the leading (stream) axis on
     mesh axis 'streams'; XLA partitions full/track/bucket SPMD over ICI with no
@@ -128,6 +132,21 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
     full1 = ft.make_step(cascade, config, frame_shape, "full")
     full = jax.vmap(full1)
 
+    def _scatter_subbatch(tree, sub_tree, idx, safe, valid):
+        """Merge a top_k-compacted sub-batch back into the full batch.
+
+        Scatter with the UNCLAMPED idx so padding slots (idx == N) are
+        dropped instead of aliasing stream N-1: a clamped scatter makes
+        duplicate index N-1 with conflicting values, and JAX applies
+        duplicate scatter-set updates in unspecified order — stream N-1's
+        update could be silently discarded every tick."""
+        def scatter(buf, sub):
+            cur = buf[safe]
+            vshape = (valid.shape[0],) + (1,) * (buf.ndim - 1)
+            merged = jnp.where(valid.reshape(vshape), sub, cur)
+            return buf.at[idx].set(merged, mode="drop")
+        return jax.tree_util.tree_map(scatter, tree, sub_tree)
+
     def _escape_checked(banded, plain):
         """Band-local step with a COST-BOUNDED full-frame fallback for
         escaped streams (window left the band — rare).
@@ -139,8 +158,9 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
         regression.  Instead, <= ESCAPE_BUCKET escaped streams are top_k
         compacted and recomputed from the PRE-step state as a small
         sub-batch (cost O(bucket), not O(N)); only >bucket simultaneous
-        escapes (vanishingly rare) pay the full-batch recompute.  Results
-        are always full-frame-equal either way."""
+        escapes (vanishingly rare) pay the full-batch recompute.  Escaped
+        streams get exactly the full-frame result; non-escaped streams are
+        the same accuracy class as full-frame (see make_batched_steps)."""
         ebucket = max(1, int(escape_bucket))
 
         def fn(state, frames):
@@ -163,15 +183,8 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
                 st2, out2 = plain(sub_state,
                                   jax.lax.optimization_barrier(frames[safe]))
                 valid = idx < N
-
-                def scatter(buf, sub):
-                    cur = buf[safe]
-                    vshape = (valid.shape[0],) + (1,) * (buf.ndim - 1)
-                    merged = jnp.where(valid.reshape(vshape), sub, cur)
-                    return buf.at[idx].set(merged, mode="drop")
-
-                return (jax.tree_util.tree_map(scatter, st1, st2),
-                        jax.tree_util.tree_map(scatter, out1, out2))
+                return (_scatter_subbatch(st1, st2, idx, safe, valid),
+                        _scatter_subbatch(out1, out2, idx, safe, valid))
 
             def many(_):
                 st2, out2 = plain(state, frames)
@@ -220,21 +233,8 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
         # apply only to valid, still-non-CS streams (a stream that re-locked
         # between mode syncs already advanced via the track pass above)
         valid = (idx < N) & (sub_state.mode != ft.MODE_CS)
-
-        def scatter(buf, sub):
-            cur = buf[safe]
-            vshape = (valid.shape[0],) + (1,) * (buf.ndim - 1)
-            merged = jnp.where(valid.reshape(vshape), sub, cur)
-            # Scatter with the UNCLAMPED idx so padding slots (idx == N) are
-            # dropped instead of aliasing stream N-1: a clamped scatter makes
-            # duplicate index N-1 with conflicting values, and JAX applies
-            # duplicate scatter-set updates in unspecified order — stream N-1's
-            # detection update could be silently discarded every tick.
-            return buf.at[idx].set(merged, mode="drop")
-
-        state2 = jax.tree_util.tree_map(scatter, state1, sub_state2)
-        out2 = jax.tree_util.tree_map(scatter, out, sub_out)
-        return state2, out2
+        return (_scatter_subbatch(state1, sub_state2, idx, safe, valid),
+                _scatter_subbatch(out, sub_out, idx, safe, valid))
 
     def bucket_step(state, frames, idx):
         state1, out = track(state, frames)          # CS streams advance
@@ -267,14 +267,18 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
                                         ticks — no starvation)
         lax.switch executes exactly one branch per tick."""
         N = frames.shape[0]
+        # trace-time clamp: make_batched_steps is batch-size-polymorphic,
+        # so a caller-supplied bucket > N (e.g. the default 32 on a small
+        # batch) must not reach top_k(k=bucket) or the chunk sizing
+        kb = max(1, min(bucket, N))
         entry_non_cs = state.mode != ft.MODE_CS
         age = state.pend_age
         npend = entry_non_cs.sum()
         npend_vj = (state.mode == ft.MODE_VJ).sum()
         # a bucket multiple, so chunk slices never clamp (a clamped
         # dynamic_slice would re-serve streams: same frame stepped twice)
-        chunk_cap = max(bucket, (min(N, 4 * bucket) // bucket) * bucket)
-        nchunks_max = chunk_cap // bucket
+        chunk_cap = max(kb, (min(N, 4 * kb) // kb) * kb)
+        nchunks_max = chunk_cap // kb
         # oldest-first bucket key; ties -> lowest stream index (top_k stable)
         sched_key = jnp.where(entry_non_cs, 1 + age, 0)
 
@@ -289,7 +293,7 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
 
         def b_bucket(state, frames):
             state1, out = track(state, frames)
-            vals, idx = jax.lax.top_k(sched_key, bucket)
+            vals, idx = jax.lax.top_k(sched_key, kb)
             idx = jnp.where(vals > 0, idx, N)  # padding slots dropped
             state2, out2 = _apply_bucket(state1, out, frames, idx)
             served = jnp.zeros((N,), bool).at[idx].set(True, mode="drop")
@@ -299,11 +303,11 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
             state1, out = track(state, frames)
             vals, idxs = jax.lax.top_k(sched_key, chunk_cap)
             idxs = jnp.where(vals > 0, idxs, N)
-            nchunks = jnp.minimum((npend + bucket - 1) // bucket, nchunks_max)
+            nchunks = jnp.minimum((npend + kb - 1) // kb, nchunks_max)
 
             def body(c, carry):
                 st, o = carry
-                idx = jax.lax.dynamic_slice(idxs, (c * bucket,), (bucket,))
+                idx = jax.lax.dynamic_slice(idxs, (c * kb,), (kb,))
                 return _apply_bucket(st, o, frames, idx)
 
             state2, out2 = jax.lax.fori_loop(0, nchunks, body, (state1, out))
@@ -326,12 +330,12 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
             branches = [b_track, b_bucket, b_chunks, b_wbtrack]
             sel = jnp.where(npend == 0, 0,
                             jnp.where(npend_vj == 0, 3,
-                                      jnp.where(npend <= bucket, 1, 2)))
+                                      jnp.where(npend <= kb, 1, 2)))
         else:
             branches = [b_track, b_bucket, b_chunks, b_full, b_wbtrack]
             sel = jnp.where(npend == 0, 0,
                             jnp.where(npend_vj == 0, 4,
-                                      jnp.where(npend <= bucket, 1,
+                                      jnp.where(npend <= kb, 1,
                                                 jnp.where(npend <= chunk_cap,
                                                           2, 3))))
         return jax.lax.switch(sel, branches, state, frames)
@@ -435,17 +439,19 @@ class BatchedTracker:
         self.sync_interval = max(1, int(sync_interval))
         self._tick = 0
 
-    def warmup(self, scan_len=None, host_sched=True):
+    def warmup(self, scan_len=None, host_sched=True, device_sched=True):
         """Compile the step programs up front (the bucket program would
         otherwise compile lazily on the first track-loss tick — a multi-minute
         stall in the middle of serving).
 
         host_sched=True also compiles the host-scheduler trio (full/track/
-        bucket); step_auto always compiles.  scan_len=K additionally compiles
-        the K-tick run_scan program for that static K."""
+        bucket); device_sched=True compiles step_auto (the 3-way lax.switch —
+        the slowest compile in the repo; pass False for host-scheduler-only
+        deployments).  scan_len=K additionally compiles the K-tick run_scan
+        program for that static K."""
         frames = jnp.zeros((self.n,) + self.frame_shape + (3,), jnp.uint8)
         idx = jnp.full((self.bucket,), self.n, jnp.int32)
-        plan = [(self._step_auto, (frames,))]
+        plan = [(self._step_auto, (frames,))] if device_sched else []
         if host_sched:
             plan += [(self._step_track, (frames,)),
                      (self._step_bucket, (frames, idx)),
@@ -516,6 +522,9 @@ class BatchedTracker:
         StepOutput batch with (K, N) leaves.  Each distinct K compiles its own
         program — pass scan_len=K to warmup() first for serving."""
         frames_seq = jnp.asarray(frames_seq)
+        if frames_seq.shape[0] == 0:
+            raise ValueError("run_scan needs at least one tick "
+                             "(frames_seq has leading length 0)")
         self._tick += int(frames_seq.shape[0])
         self.state, out = self._step_scan(self.state, frames_seq)
         self._pending_modes = out.mode_after[-1]

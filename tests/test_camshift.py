@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from headtrackr_tpu.oracle.camshift import CamshiftTracker, Histogram, Moments
 from headtrackr_tpu.models import camshift as mc
@@ -419,3 +420,38 @@ def test_histogram_and_pdf_block_invariant(rng):
         cur, pdf = oh.histogram_and_pdf(bins, model, block=blk)
         np.testing.assert_array_equal(np.asarray(cur0), np.asarray(cur))
         np.testing.assert_array_equal(np.asarray(pdf0), np.asarray(pdf))
+
+
+def test_parse_band_tokens():
+    """The shared CLI band parser: tokens and diagnostics."""
+    assert mc.parse_band("auto") == "auto"
+    assert mc.parse_band("none") is None
+    assert mc.parse_band("96x128") == (96, 128)
+    with pytest.raises(ValueError, match="auto"):
+        mc.parse_band("128")
+    with pytest.raises(ValueError, match="auto"):
+        mc.parse_band("96X128")
+
+
+def test_make_batched_steps_bucket_exceeds_batch(rng):
+    """Public make_batched_steps with bucket > n_streams must clamp at
+    trace time (top_k(k) cannot exceed the batch) and still serve."""
+    from headtrackr_tpu.cascade import toy_cascade
+    from headtrackr_tpu.config import TrackerConfig
+    from headtrackr_tpu.models import facetracker as ft
+    from headtrackr_tpu.runtime.serving import make_batched_steps
+
+    H, W = 48, 64
+    cfg = TrackerConfig(maxCandidates=32, survivorsStage2=128,
+                        survivorsDeep=32, whitebalancing=False)
+    _, _, _, step_auto, _ = make_batched_steps(
+        toy_cascade(), cfg, (H, W), bucket=32, donate=False)
+    N = 4
+    st1 = ft.init_state(cfg.whitebalancing)
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (N,) + np.shape(x)).copy(), st1)
+    f = np.full((N, H, W, 3), 40, np.uint8)
+    f[:, 10:34, 16:40] = (230, 80, 60)
+    for _ in range(3):
+        state, out = step_auto(state, jnp.asarray(f))
+    assert (np.asarray(state.mode) == ft.MODE_CS).all()
