@@ -69,12 +69,6 @@ class ScaleGeom:
     level: int        # scale step i
     qh2: int          # window grid height (2*qh)
     qw2: int          # window grid width  (2*qw)
-    w0: int           # plane0 width
-    w1: int           # plane1 width
-    wI: int           # interleaved quarter width (2*W2)
-    start0: int       # offsets into the per-frame flat plane buffer
-    start1: int
-    startI: int
     scale_x: float
     scale_y: float
 
@@ -85,11 +79,7 @@ class DetectorTables:
     spec: object                 # PyramidSpec
     geoms: tuple                 # tuple[ScaleGeom]
     M: int                       # total number of windows across scales
-    flat_len: int                # length of the flat plane buffer
     # Per-window metadata (NumPy, become jnp constants on use):
-    win_scale: np.ndarray        # (M,) i32 index into geoms
-    win_y2: np.ndarray           # (M,) i32 window-grid row
-    win_x2: np.ndarray           # (M,) i32 window-grid col
     out_x: np.ndarray            # (M,) f32 detection-space box corner
     out_y: np.ndarray            # (M,) f32
     out_w: np.ndarray            # (M,) f32
@@ -123,30 +113,20 @@ def _tables_cached(w0, h0, interval, cascade_key):
     K = c["alpha"].shape[0]
 
     geoms = []
-    flat = 0
-    meta = {k: [] for k in ("scale", "y2", "x2", "ox", "oy", "ow", "oh")}
+    meta = {k: [] for k in ("ox", "oy", "ow", "oh")}
     scale_x = 1.0
     scale_y = 1.0
     for i in range(spec.scale_upto):
-        W0, H0 = dims[i]
-        W1, H1 = dims[i + next_]
         W2, H2 = dims[i + next_ * 2]
         qh, qw = H2 - 6, W2 - 6
         if qh > 0 and qw > 0:
             g = ScaleGeom(
-                level=i, qh2=2 * qh, qw2=2 * qw, w0=W0, w1=W1, wI=2 * W2,
-                start0=flat, start1=flat + W0 * H0,
-                startI=flat + W0 * H0 + W1 * H1,
+                level=i, qh2=2 * qh, qw2=2 * qw,
                 scale_x=scale_x, scale_y=scale_y)
-            flat += W0 * H0 + W1 * H1 + 4 * W2 * H2
-            s_idx = len(geoms)
             geoms.append(g)
             y2, x2 = np.meshgrid(np.arange(2 * qh), np.arange(2 * qw), indexing="ij")
             y2 = y2.ravel()
             x2 = x2.ravel()
-            meta["scale"].append(np.full(y2.size, s_idx, np.int32))
-            meta["y2"].append(y2.astype(np.int32))
-            meta["x2"].append(x2.astype(np.int32))
             meta["ox"].append((2 * x2 * scale_x).astype(np.float32))
             meta["oy"].append((2 * y2 * scale_y).astype(np.float32))
             meta["ow"].append(np.full(y2.size, 24 * scale_x, np.float32))
@@ -154,9 +134,9 @@ def _tables_cached(w0, h0, interval, cascade_key):
         scale_x *= spec.scale
         scale_y *= spec.scale
 
-    cat = {k: (np.concatenate(v) if v else np.zeros((0,), np.int32))
+    cat = {k: (np.concatenate(v) if v else np.zeros((0,), np.float32))
            for k, v in meta.items()}
-    M = cat["scale"].size
+    M = cat["ox"].size
 
     # Tile grid metadata: a UNIFORM (ntymax, ntxmax) grid per scale, so the
     # stacked dense pass flattens to tile-major with one reshape/transpose.
@@ -178,8 +158,7 @@ def _tables_cached(w0, h0, interval, cascade_key):
         t_tx = np.zeros((0,), np.int32)
 
     return DetectorTables(
-        spec=spec, geoms=tuple(geoms), M=M, flat_len=flat,
-        win_scale=cat["scale"], win_y2=cat["y2"], win_x2=cat["x2"],
+        spec=spec, geoms=tuple(geoms), M=M,
         out_x=cat["ox"], out_y=cat["oy"],
         out_w=cat["ow"], out_h=cat["oh"],
         n_tiles=int(t_scale.size), ntymax=int(ntymax), ntxmax=int(ntxmax),
@@ -191,7 +170,14 @@ def _tables_cached(w0, h0, interval, cascade_key):
     )
 
 
+# Digest -> cascade arrays, consulted by the lru-cached table/selection-mat
+# builders (lru keys must be hashable; the arrays are not).  Bounded FIFO:
+# unlike the lru_caches above, a plain dict would pin every cascade ever
+# seen (e.g. toy-cascade parameter sweeps) forever.  The bound is far above
+# the lru sizes, so an entry is never evicted while a cached builder that
+# needs it can still miss within the same detector_tables call flow.
 _TABLE_CASCADES = {}
+_TABLE_CASCADES_MAX = 64
 
 
 def _cascade_digest(cascade):
@@ -205,7 +191,10 @@ def _cascade_digest(cascade):
 
 def detector_tables(w0, h0, cascade, interval=5):
     key = _cascade_digest(cascade)
+    _TABLE_CASCADES.pop(key, None)  # re-insert last (FIFO freshness)
     _TABLE_CASCADES[key] = cascade
+    while len(_TABLE_CASCADES) > _TABLE_CASCADES_MAX:
+        _TABLE_CASCADES.pop(next(iter(_TABLE_CASCADES)))
     return _tables_cached(w0, h0, interval, key)
 
 
@@ -510,10 +499,17 @@ def group_candidates(x, y, w, h, conf, valid, min_neighbors=1):
     member = (label[None, :] == idxv[:, None]) & valid[None, :]  # row i: members
     mf = member.astype(f32)
     n = mf.sum(axis=1)
-    sx = mf @ x
-    sy = mf @ y
-    sw = mf @ w
-    sh = mf @ h
+    # Precision.HIGH (bf16x3): exact f32 selection for the 0/1 lhs — the
+    # coordinates are FRACTIONAL f32 (x4*scale_x), so a DEFAULT-precision
+    # dot would bf16-round each member coordinate (~1 px at x>=256) before
+    # summing, shifting grouped boxes / the VJ->CS handoff rect on TPU
+    # (CLAUDE.md precision rule; CPU dots are full f32, so only the chip
+    # sees it).  These dots run on <= K=256 slots on detect ticks only.
+    hi = jax.lax.Precision.HIGH
+    sx = jnp.dot(mf, x, precision=hi)
+    sy = jnp.dot(mf, y, precision=hi)
+    sw = jnp.dot(mf, w, precision=hi)
+    sh = jnp.dot(mf, h, precision=hi)
     mconf = jnp.max(jnp.where(member, conf[None, :], -jnp.inf), axis=1)
 
     rep = valid & (label == idxv) & (n >= min_neighbors)
@@ -608,15 +604,15 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
         tie = jax.lax.broadcasted_iota(jnp.int32, (T_all, 1), 0).reshape(-1)
         tile_rank = tcount * (T_all + 1) + (T_all - tie)
         _, tidx = jax.lax.top_k(tile_rank, k_tiles)
-        tvalid = tcount[tidx] > 0
-        tsafe = tidx
+        counts = tcount[tidx]
+        tvalid = counts > 0
         # survivors dropped by tile-capacity eviction (PARITY.md deviation 5)
-        kept_windows = jnp.where(tvalid, tcount[tsafe], 0).sum()
+        kept_windows = jnp.where(tvalid, counts, 0).sum()
         overflow = (tcount.sum() - kept_windows).astype(jnp.int32)
 
-        tscale = jnp.asarray(tables.tile_scale)[tsafe]
-        ty = jnp.asarray(tables.tile_ty)[tsafe]
-        tx = jnp.asarray(tables.tile_tx)[tsafe]
+        tscale = jnp.asarray(tables.tile_scale)[tidx]
+        ty = jnp.asarray(tables.tile_ty)[tidx]
+        tx = jnp.asarray(tables.tile_tx)[tidx]
 
         b0, b1, bi = _extract_tile_blocks(stacks, tscale, ty, tx)
         patches_t = _tile_patches(b0, b1, bi)     # (768, k_tiles*160) bf16
@@ -632,9 +628,9 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
         qw2_s = jnp.asarray(tables.geom_qw2)[wscale]
         in_grid = (wy2 < qh2_s) & (wx2 < qw2_s)
 
-        alive0 = (talive[tsafe].reshape(W_) & in_grid
+        alive0 = (talive[tidx].reshape(W_) & in_grid
                   & jnp.repeat(tvalid, TILE_WINDOWS))
-        conf0 = tconf[tsafe].reshape(W_)
+        conf0 = tconf[tidx].reshape(W_)
 
         # ---- chunk B: stages [a_end, b_end) on all tile windows ----------
         alive1, conf1 = _patch_chunk(patches_t, key,
@@ -708,6 +704,12 @@ def detect_objects_padded(gray, cascade, interval=5, min_neighbors=1, k_cand=256
     min_neighbors > 0).  Returns dict of (k_cand,) arrays + kept mask."""
     cand = detect_candidates(gray, cascade, interval, k1=k1, k2=k2, k_cand=k_cand)
     if not min_neighbors > 0:
+        # min_neighbors=0 skips grouping (src/ccv.js:245-246 returns the raw
+        # seq).  Keep the grouped schema so consumers (detect_best) work for
+        # both settings: every valid candidate is its own kept "group".
+        cand = dict(cand)
+        cand["kept"] = cand.pop("valid")
+        cand["neighbors"] = cand["kept"].astype(jnp.float32)
         return cand
     g = group_candidates(cand["x"], cand["y"], cand["width"], cand["height"],
                          cand["confidence"], cand["valid"], min_neighbors)

@@ -139,8 +139,8 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         ((H, W) f32; zeros on non-CS frames) as a third output — the debug
         surface (src/facetrackr.js:194-196).  Costs one extra (H, W) buffer;
         used by Tracker(debug=True), not by serving.
-    band=(bh, bw): band-local camshift (models/camshift.track_band) — only
-        with variant="track" and with_pdf=False.  The step then returns
+    band=(bh, bw): band-local camshift (models/camshift.track_band) — with
+        variant="track" or "wbtrack", and with_pdf=False.  The step then returns
         (state', StepOutput, escaped) where escaped marks streams whose
         results are invalid (window left the band); the serving scheduler
         recomputes those with the full-frame track program.

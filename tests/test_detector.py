@@ -242,3 +242,21 @@ def test_overflow_reports_dropped_survivors():
     # grouped API propagates it
     g = jd.detect_objects_padded(jnp.asarray(img), toy, k_cand=4)
     assert int(g["overflow"]) == n_surv - 4
+
+
+def test_detect_best_min_neighbors_zero():
+    """min_neighbors=0 skips grouping (src/ccv.js:245-246) but must keep the
+    grouped output schema: every valid candidate is its own kept group, and
+    detect_best still picks the max-confidence window."""
+    img = np.full((48, 64), 40, np.uint8)
+    img[10:34, 16:40] = 230
+    toy = toy_cascade()
+    g = jd.detect_objects_padded(jnp.asarray(img), toy, min_neighbors=0)
+    kept = np.asarray(g["kept"])
+    assert kept.any()
+    assert np.asarray(g["neighbors"])[kept].min() == 1.0
+    found, x, y, w, h, conf = jax.jit(
+        lambda a: jd.detect_best(a, toy, min_neighbors=0))(jnp.asarray(img))
+    assert bool(found)
+    raw = od.detect_objects(img, toy, 5, 0)
+    assert float(conf) == max(r["confidence"] for r in raw)
