@@ -26,7 +26,7 @@ from .detector import detect_best
 __all__ = ["TrackerState", "StepOutput", "init_state", "make_step",
            "MODE_WB", "MODE_VJ", "MODE_CS",
            "STATUS_WHITEBALANCE", "STATUS_DETECTING", "STATUS_FOUND",
-           "STATUS_REDETECTING", "STATUS_LOST"]
+           "STATUS_REDETECTING", "STATUS_LOST", "STATUS_BITS"]
 
 MODE_WB, MODE_VJ, MODE_CS = 0, 1, 2
 
@@ -35,6 +35,15 @@ STATUS_DETECTING = 2
 STATUS_FOUND = 4
 STATUS_REDETECTING = 8
 STATUS_LOST = 16
+# bit -> status-event name (src/main.js:70-77); the ONE table shared by
+# Tracker._emit and StreamFanout.emit so the two surfaces cannot drift
+STATUS_BITS = [
+    (STATUS_WHITEBALANCE, "whitebalance"),
+    (STATUS_DETECTING, "detecting"),
+    (STATUS_FOUND, "found"),
+    (STATUS_REDETECTING, "redetecting"),
+    (STATUS_LOST, "lost"),
+]
 
 PWB_LENGTH = 15                # src/facetrackr.js:59
 CONFIDENCE_THRESHOLD = -10.0   # src/facetrackr.js:57

@@ -29,17 +29,11 @@ import jax
 from ..models import facetracker as ft
 from . import events as ev
 from .serving import BatchedTracker
-from .video import VideoSource, ClipSource
+from .video import VideoSource, ClipSource, resize_rgb
 
 __all__ = ["StreamFanout", "IngestRing", "BatchedSession"]
 
-_STATUS_BITS = [
-    (ft.STATUS_WHITEBALANCE, "whitebalance"),
-    (ft.STATUS_DETECTING, "detecting"),
-    (ft.STATUS_FOUND, "found"),
-    (ft.STATUS_REDETECTING, "redetecting"),
-    (ft.STATUS_LOST, "lost"),
-]
+_STATUS_BITS = ft.STATUS_BITS  # one shared table (models/facetracker)
 
 
 class StreamFanout:
@@ -65,9 +59,22 @@ class StreamFanout:
         self.hints_after_s = hints_after_s
         self._vj_since = [None] * n_streams
         self._hints_sent = [False] * n_streams
+        # "lost" halts a stream's emission (the single Tracker stops on
+        # STATUS_LOST, src/main.js:245-248; with retryDetection=False the
+        # batched step would otherwise re-emit lost + zero-size face events
+        # every tick forever).  reset_stream() re-arms.
+        self.stopped = [False] * n_streams
 
     def bus(self, i):
         return self.buses[i]
+
+    def reset_stream(self, i):
+        """Re-arm stream i's emission (pair with BatchedTracker.reset_stream
+        after a "lost" halt, or when a new camera takes the slot)."""
+        self.stopped[i] = False
+        self.status[i] = ""
+        self._vj_since[i] = None
+        self._hints_sent[i] = False
 
     def add_event_listener(self, i, type_, callback):
         return self.buses[i].add_event_listener(type_, callback)
@@ -80,7 +87,10 @@ class StreamFanout:
         (the reference stamps per-frame detection time, src/facetrackr.js:123).
         stream_ids: optional subset to emit for.  Returns #events dispatched.
         """
-        host = jax.tree_util.tree_map(np.asarray, out)
+        # one device_get for the whole tree: per-leaf np.asarray would pay
+        # one synchronous host round trip PER LEAF (~27 ms each through the
+        # axon relay; ~20 leaves = ~0.5 s/tick)
+        host = jax.device_get(out)
         ids = range(self.n) if stream_ids is None else stream_ids
         count = 0
         now = _time.time()
@@ -97,6 +107,8 @@ class StreamFanout:
         head = (host.head_x.tolist(), host.head_y.tolist(),
                 host.head_z.tolist())
         for i in ids:
+            if self.stopped[i]:
+                continue
             b = self.buses[i]
             status = status_l[i]
             det = det_l[i]
@@ -121,6 +133,9 @@ class StreamFanout:
                     self.status[i] = name
                     b.dispatch_event(ev.STATUS, {"status": name, "stream": i})
                     count += 1
+            if status & ft.STATUS_LOST:
+                self.stopped[i] = True  # halt this stream's emission
+                continue
             if event_face_l[i]:
                 b.dispatch_event(ev.FACETRACKING, {
                     "height": face[0][i], "width": face[1][i],
@@ -210,7 +225,10 @@ class BatchedSession:
             self.ring = IngestRing(n_streams, frame_shape)
         self._batch = np.zeros((n_streams,) + frame_shape + (3,), np.uint8)
         self._ended = np.zeros((n_streams,), bool)
-        self._pending = None  # (StepOutput, time_ms) awaiting emission
+        self._pending = None  # (StepOutput, t0) awaiting emission
+        self._idle_since = None  # end of the last step_once (sleep excluded
+        # from the emitted per-tick `time`: PARITY deviation 7 wants the
+        # step's wall clock, not the timer interval)
         self._run = False
         self._thread = None
         self.ticks = 0
@@ -228,12 +246,18 @@ class BatchedSession:
             if f is None:
                 self._ended[i] = True
             else:
+                if f.shape[:2] != self.frame_shape:
+                    # same source->canvas normalization as Tracker._capture
+                    f = resize_rgb(f, self.frame_shape[1],
+                                   self.frame_shape[0])
                 self._batch[i] = f
         return not self._ended.all()
 
     def step_once(self, sync=False):
         """One tick: ingest -> device step -> emit previous tick's events.
         Returns False once all pull-mode sources are exhausted."""
+        now = _time.time()
+        idle = 0.0 if self._idle_since is None else now - self._idle_since
         if not self._fill_batch():
             return False
         t0 = _time.time()
@@ -242,8 +266,11 @@ class BatchedSession:
         self._pending = (out, t0)
         if prev is not None:
             p_out, p_t0 = prev
-            self.fanout.emit(p_out, time_ms=int((_time.time() - p_t0) * 1000))
+            elapsed = _time.time() - p_t0 - idle  # tick t-1's window minus
+            # the timer sleep between the two step_once calls
+            self.fanout.emit(p_out, time_ms=max(0, int(elapsed * 1000)))
         self.ticks += 1
+        self._idle_since = _time.time()
         return True
 
     def flush(self):
@@ -251,7 +278,10 @@ class BatchedSession:
         if self._pending is not None:
             p_out, p_t0 = self._pending
             self._pending = None
-            self.fanout.emit(p_out, time_ms=int((_time.time() - p_t0) * 1000))
+            now = _time.time()
+            idle = 0.0 if self._idle_since is None else now - self._idle_since
+            self.fanout.emit(p_out,
+                             time_ms=max(0, int((now - p_t0 - idle) * 1000)))
 
     def run(self, max_ticks=None, sync=False):
         """Drive synchronously until sources end (or max_ticks); flushes."""
@@ -262,9 +292,14 @@ class BatchedSession:
         return n
 
     def start(self, interval_ms=None):
-        """Timer-thread mode, like Tracker.start (src/main.js:328-345)."""
+        """Timer-thread mode, like Tracker.start (src/main.js:328-345).
+        Refuses (returns None) while a stop()-orphaned loop thread is still
+        finishing an in-flight step — a second loop would race it on the
+        donated tracker state."""
         if self._run:
             return self
+        if self._thread is not None and self._thread.is_alive():
+            return None
         self._run = True
         interval = (self.tracker.config.detectionInterval if interval_ms is None
                     else interval_ms) / 1000.0

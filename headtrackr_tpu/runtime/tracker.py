@@ -25,17 +25,12 @@ from ..config import TrackerConfig
 from ..models import facetracker as ft
 from . import events as ev
 from .ui import Ui
-from .video import CameraSource, ClipSource, VideoSource, normalize_size
+from .video import (CameraSource, ClipSource, VideoSource,
+                    normalize_size, resize_rgb)
 
 __all__ = ["Tracker"]
 
-_STATUS_BITS = [
-    (ft.STATUS_WHITEBALANCE, "whitebalance"),
-    (ft.STATUS_DETECTING, "detecting"),
-    (ft.STATUS_FOUND, "found"),
-    (ft.STATUS_REDETECTING, "redetecting"),
-    (ft.STATUS_LOST, "lost"),
-]
+_STATUS_BITS = ft.STATUS_BITS  # one shared table (models/facetracker)
 
 _MODE_NAMES = {ft.MODE_WB: "WB", ft.MODE_VJ: "VJ", ft.MODE_CS: "CS"}
 
@@ -70,6 +65,7 @@ class Tracker:
         self._last_out = None
         self._run = False
         self._thread = None
+        self._session = 0  # bumped by stop(): in-flight steps discard
         self._detection_timer = None  # wall-clock start of VJ (hints, main.js:188)
         self._hints_sent = False
         self._canvas_size = None
@@ -119,7 +115,16 @@ class Tracker:
         self._last_pdf = None
         self._video_faded = False
 
-        if self.config.ui:
+        # re-init drops the previous session's emission state (a second
+        # init() must behave like a fresh Tracker: hints can fire again,
+        # getFOV/getTrackingObject return nothing until the first frame)
+        self._last_out = None
+        self._detection_timer = None
+        self._hints_sent = False
+        self.status = ""
+        if self.config.ui and self._ui is None:
+            # construct once: each Ui subscribes to the bus, so a per-init
+            # construction would leak one listener per re-init
             self._ui = Ui(bus=self._bus)
         self.initialized = True
         return True
@@ -130,7 +135,7 @@ class Tracker:
             return None
         ch, cw = self._canvas_size[1], self._canvas_size[0]
         if frame.shape[:2] != (ch, cw):
-            frame = _resize_rgb(frame, cw, ch)
+            frame = resize_rgb(frame, cw, ch)
         return frame
 
     def step_once(self, frame=None):
@@ -141,13 +146,25 @@ class Tracker:
             if frame is None:
                 return None
         t0 = _time.time()
+        gen = self._session
         if self.config.debug:
-            self._state, out, pdf = self._step(self._state, jnp.asarray(frame))
-            self._last_pdf = np.asarray(pdf)
+            state, out, pdf = self._step(self._state, jnp.asarray(frame))
+            # one device_get: per-leaf np.asarray would pay one synchronous
+            # host round trip PER LEAF (~27 ms each through the axon relay)
+            out, pdf = jax.device_get((out, pdf))
+            self._last_pdf = pdf
             self._last_frame = np.asarray(frame)
         else:
-            self._state, out = self._step(self._state, jnp.asarray(frame))
-        out = jax.tree_util.tree_map(np.asarray, out)
+            state, out = self._step(self._state, jnp.asarray(frame))
+            out = jax.device_get(out)
+        if gen != self._session:
+            # stop() ran while this step was in flight (e.g. a first-tick
+            # compile outlived stop()'s join timeout): keep stop()'s
+            # detection-from-scratch contract — discard the result (the old
+            # state buffer was donated, so re-init) and emit nothing.
+            self._state = ft.init_state(self.config.whitebalancing)
+            return None
+        self._state = state
         elapsed_ms = int((_time.time() - t0) * 1000)
         self._last_out = out
         self._emit(out, elapsed_ms)
@@ -228,6 +245,13 @@ class Tracker:
         chain is likewise asynchronous)."""
         if not self.initialized:
             return False
+        if self._run:
+            return True  # already running: one loop thread only
+        if self._thread is not None and self._thread.is_alive():
+            # a stop()-orphaned loop is still finishing a long in-flight
+            # step (its result discards via _session); starting a second
+            # loop would race it on the donated state — refuse, retry later
+            return False
         self._run = True
 
         def boot():
@@ -258,6 +282,7 @@ class Tracker:
     def stop(self):
         """src/main.js:347-355: stop loop, reset detection from scratch."""
         self._run = False
+        self._session += 1  # in-flight steps discard their result
         if (self._thread is not None and self._thread.is_alive()
                 and self._thread is not threading.current_thread()):
             self._thread.join(timeout=5.0)
@@ -319,9 +344,3 @@ class Tracker:
             angle=float(o.face_angle), confidence=float(o.face_conf))
 
 
-def _resize_rgb(frame, w, h):
-    """Nearest-neighbor host resize for source -> canvas normalization."""
-    H, W = frame.shape[:2]
-    ys = (np.arange(h) * H // h).clip(0, H - 1)
-    xs = (np.arange(w) * W // w).clip(0, W - 1)
-    return frame[np.ix_(ys, xs)]

@@ -10,7 +10,7 @@ src/main.js:144-150).
 
 import numpy as np
 
-__all__ = ["VideoSource", "ClipSource", "SyntheticFaceSource", "CameraSource",
+__all__ = ["VideoSource", "ClipSource", "SyntheticFaceSource", "CameraSource", "resize_rgb",
            "normalize_size"]
 
 
@@ -125,3 +125,13 @@ class CameraSource(VideoSource):
 
     def stop(self):
         self._cap.release()
+
+
+def resize_rgb(frame, w, h):
+    """Nearest-neighbor host resize for source -> canvas normalization
+    (shared by Tracker._capture and BatchedSession._fill_batch)."""
+    import numpy as _np
+    H, W = frame.shape[:2]
+    ys = (_np.arange(h) * H // h).clip(0, H - 1)
+    xs = (_np.arange(w) * W // w).clip(0, W - 1)
+    return frame[_np.ix_(ys, xs)]

@@ -220,3 +220,63 @@ def test_batched_session_timer_thread():
     assert sess.fanout.status == ["tracking", "tracking"]
     assert heads and hasattr(heads[-1], "z")
     assert sess._thread is None  # joined
+
+
+def _fake_out(n, status=0, det=2, face=False):
+    import headtrackr_tpu.models.facetracker as ftm
+    z = np.zeros((n,), np.float32)
+    return ftm.StepOutput(
+        detection=np.full((n,), det, np.int32), wb=z,
+        face_x=z + 5, face_y=z + 6, face_w=z + 7, face_h=z + 8,
+        face_angle=z, face_conf=z + 1,
+        smooth_x=z, smooth_y=z, smooth_w=z, smooth_h=z,
+        head_valid=np.zeros((n,), bool), head_x=z, head_y=z, head_z=z,
+        status=np.full((n,), status, np.int32),
+        event_face=np.full((n,), face, bool), fov_deg=z,
+        mode_after=np.full((n,), det, np.int32))
+
+
+def test_fanout_lost_stream_halts_emission():
+    """STATUS_LOST halts a stream's emission (the single Tracker stops,
+    src/main.js:245-248); reset_stream re-arms it."""
+    import headtrackr_tpu.models.facetracker as ftm
+    f = StreamFanout(2)
+    log = []
+    _listen(f, 0, log)
+    n0 = f.emit(_fake_out(2, status=ftm.STATUS_LOST, face=True))
+    assert _statuses(log) == ["lost"]
+    assert f.stopped[0] and f.stopped[1]
+    # subsequent ticks (retryDetection=False keeps stepping): silent
+    before = len(log)
+    assert f.emit(_fake_out(2, status=ftm.STATUS_LOST, face=True)) == 0
+    assert len(log) == before
+    f.reset_stream(0)
+    assert f.emit(_fake_out(2, face=True)) == 1  # stream 0 only
+    assert _face_rows(log)
+
+
+def test_batched_session_resizes_pull_sources():
+    """Pull-mode sources at a different resolution are normalized to the
+    session frame_shape (same contract as Tracker._capture)."""
+    big = np.stack([np.kron(f, np.ones((2, 2, 1))).astype(np.uint8)
+                    for f in _clip(60, 50, n=20)])  # (20, 2H, 2W, 3)
+    assert big.shape[1:] == (2 * H, 2 * W, 3)
+    sess = BatchedSession(1, sources=[big], frame_shape=(H, W),
+                          cascade=ht.toy_cascade(), ui=False)
+    ticks = sess.run(sync=True)
+    assert ticks == 20
+    assert sess.fanout.status == ["tracking"]
+
+
+def test_tracker_start_reentry_guard():
+    """A second start() while running must not spawn a second loop thread
+    racing the donated state."""
+    clip = _clip(60, 50, n=60)
+    t = ht.Tracker(ui=False, cascade=ht.toy_cascade(),
+                   bus=ht.events.EventBus(), detectionInterval=5)
+    assert t.init(ht.ClipSource(clip), canvas=(W, H))
+    assert t.start()
+    th1 = t._thread
+    assert t.start()          # no-op: already running
+    assert t._thread is th1
+    t.stop()
