@@ -105,6 +105,15 @@ def main():
                          " and pre-qualified escape-free on it "
                          "(tools/exp_band_escape.py: 0 escapes, windows "
                          "bit-match full-frame)")
+    ap.add_argument("--sparse-hist", type=int, default=None,
+                    help="sparse-model camshift histogram K "
+                         "(TrackerConfig.sparseHist): count only the model's "
+                         "top-K bins instead of all 4096.  OFF by default — "
+                         "the bench's synthetic faces have few distinct "
+                         "bins, so enabling it here measures the BEST case, "
+                         "not a typical webcam palette (rich models "
+                         "overflow K and fall back full-frame).  A/B: "
+                         "tools/exp_sparse_ab.py")
     ap.add_argument("--latency-ticks", type=int, default=50)
     ap.add_argument("--h2d", action="store_true",
                     help="also measure true end-to-end ingest (fresh host "
@@ -139,7 +148,8 @@ def main():
     from headtrackr_tpu.models.camshift import parse_band
     band = parse_band(args.band)
     bt = ht.BatchedTracker(N, frame_shape=(H, W), ui=False,
-                           bucket=args.bucket, band=band)
+                           bucket=args.bucket, band=band,
+                           sparseHist=args.sparse_hist)
 
     print("# compiling (device-scheduled step + scan program)...",
           file=sys.stderr)

@@ -57,6 +57,24 @@ class TrackerConfig:
                                        # the band's own pixel count — a
                                        # full-frame block value would not
                                        # divide it.
+    sparseHist: Optional[int] = None   # K: sparse-model camshift histogram.
+                                       # Ratio weights min(model/cur, 1) are
+                                       # zero wherever the MODEL histogram is
+                                       # zero (src/camshift.js:314-330), so a
+                                       # stream whose model has <= K distinct
+                                       # bins only needs current-frame counts
+                                       # for those K bins — a K-lane compare
+                                       # scan instead of the 128-lane
+                                       # two-factor one-hot formulation.
+                                       # EXACT: streams whose model overflows
+                                       # K bins are flagged at handoff and
+                                       # served by the full-frame fallback
+                                       # every tick (the band-escape path) —
+                                       # correct but slow, so size K to your
+                                       # content (a 26x26 face crop has
+                                       # <= 676, typically 30-150 distinct
+                                       # bins; K is lane-sized: 64 or 128).
+                                       # None = off.  Serving/band path only.
     exactCamshift: bool = False        # True: bit-faithful f32 camshift math
                                        # on TPU (backprojection lookup + moment
                                        # prefix sums at Precision.HIGHEST,

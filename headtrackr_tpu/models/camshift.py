@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from ..ops.histogram import (backprojection_weights, histogram_and_pdf,
                              histogram_rect, histogram_scan, pdf_scan,
-                             rgb_bins)
+                             rgb_bins, sparse_hist_counts, sparse_model_topk,
+                             sparse_pdf_scan)
 
 __all__ = ["CamshiftState", "init_state", "init_tracker", "track",
            "track_band", "mean_shift", "camshift_step", "DEFAULT_BAND",
@@ -44,30 +45,51 @@ class CamshiftState(NamedTuple):
     track_w: jnp.ndarray        # i32 (JS << 2 result)
     track_h: jnp.ndarray        # i32
     track_angle: jnp.ndarray    # f32 radians
+    # sparse-model descriptor (TrackerConfig.sparseHist): the model's top-K
+    # bin ids + counts and whether any nonzero bin overflowed K (such
+    # streams must be served by the full-frame path).  All three are None
+    # when the sparse path is off — None is an EMPTY pytree node, so the
+    # state is then leaf-identical to the pre-sparse schema (same
+    # checkpoints, same shardings; a (0,)-shaped leaf instead would
+    # canonicalize to a replicated sharding and break mesh serving).
+    model_bins: object          # (K,) i32 | None
+    model_counts: object        # (K,) f32 | None
+    model_overflow: object      # bool | None
 
 
-def init_state():
+def init_state(sparse_k=0):
     return CamshiftState(
         model_hist=jnp.zeros((4096,), jnp.float32),
         window=jnp.zeros((4,), jnp.int32),
         track_x=jnp.int32(0), track_y=jnp.int32(0),
         track_w=jnp.int32(0), track_h=jnp.int32(0),
         track_angle=jnp.float32(0.0),
+        model_bins=jnp.zeros((sparse_k,), jnp.int32) if sparse_k else None,
+        model_counts=(jnp.zeros((sparse_k,), jnp.float32)
+                      if sparse_k else None),
+        model_overflow=jnp.bool_(False) if sparse_k else None,
     )
 
 
-def init_tracker(frame_rgb, rect):
+def init_tracker(frame_rgb, rect, sparse_k=0):
     """VJ -> CS handoff (src/camshift.js:198-211): model histogram of the crop.
 
     rect: (4,) i32 [x, y, w, h] (already floored by the caller,
-    src/facetrackr.js:101-106)."""
+    src/facetrackr.js:101-106).  sparse_k > 0 additionally derives the
+    sparse-model descriptor (top-K bins + overflow flag) consumed by the
+    band path when TrackerConfig.sparseHist is set."""
     bins = rgb_bins(frame_rgb)
     hist = histogram_rect(bins, rect[0], rect[1], rect[2], rect[3])
+    if sparse_k:
+        sbins, scounts, overflow = sparse_model_topk(hist, sparse_k)
+    else:
+        sbins = scounts = overflow = None
     return CamshiftState(
         model_hist=hist, window=rect.astype(jnp.int32),
         track_x=jnp.int32(0), track_y=jnp.int32(0),
         track_w=jnp.int32(0), track_h=jnp.int32(0),
         track_angle=jnp.float32(0.0),
+        model_bins=sbins, model_counts=scounts, model_overflow=overflow,
     )
 
 
@@ -393,13 +415,30 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
     block applies to the FULL-FRAME histogram scan only
     (TrackerConfig.histBlock); the band pdf auto-sizes its scan block to
     the band's own pixel count (a full-frame block would not divide it).
+
+    Sparse-model path (state carries a (K,) descriptor — see
+    TrackerConfig.sparseHist): the full-frame scan counts only the model's
+    K bins and the band pdf looks up a (K,) weight table; identical values
+    (absent bins have zero weight).  A stream whose model overflowed K is
+    reported escaped every tick, so the caller's full-frame fallback keeps
+    it exact.
     """
     H, W = frame_rgb.shape[0], frame_rgb.shape[1]
     bh = min(band[0], H)
     bw = min(band[1], W)
     bins = rgb_bins(frame_rgb)
-    cur = histogram_scan(bins, block=block)
-    weights = backprojection_weights(state.model_hist, cur)
+    sparse = state.model_bins is not None  # static (TrackerConfig.sparseHist)
+    if sparse:
+        # K-lane current counts of the model's bins only: weights are zero
+        # wherever the model count is zero (src/camshift.js:314-330), so the
+        # full 4096-bin scan is unnecessary for a <= K-bin model.  Streams
+        # whose model overflowed K are flagged escaped below — the serving
+        # fallback recomputes them full-frame (exact, slower).
+        cur_k = sparse_hist_counts(bins, state.model_bins, block=block)
+        weights_k = backprojection_weights(state.model_counts, cur_k)
+    else:
+        cur = histogram_scan(bins, block=block)
+        weights = backprojection_weights(state.model_hist, cur)
 
     # center the band on the clamped search window, 8-aligned (sublane/lane
     # friendly dynamic_slice starts), clipped to the frame
@@ -410,9 +449,15 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
     ry = jnp.clip((cy - bh // 2) & ~7, 0, H - bh)
 
     band_bins = jax.lax.dynamic_slice(bins, (ry, rx), (bh, bw))
-    pdf_band = pdf_scan(band_bins, weights, exact=exact)
+    if sparse:
+        pdf_band = sparse_pdf_scan(band_bins, state.model_bins, weights_k,
+                                   exact=exact)
+    else:
+        pdf_band = pdf_scan(band_bins, weights, exact=exact)
     win2, m, zero_mass, escaped = _mean_shift_core(
         pdf_band, state.window, exact, ry, rx, H, W)
+    if sparse:
+        escaped = escaped | state.model_overflow
     new_state = _finish(state, win2, m, zero_mass, calc_angles, H, W)
     return new_state, escaped
 

@@ -97,12 +97,15 @@ class StepOutput(NamedTuple):
     mode_after: jnp.ndarray      # i32 mode for the NEXT frame (scheduler use)
 
 
-def init_state(whitebalancing=True):
+def init_state(whitebalancing=True, sparse_k=0):
+    """sparse_k: size of the sparse-model camshift descriptor carried in
+    state — MUST equal the step's TrackerConfig.sparseHist (or 0 when unset)
+    so handoff-produced and initial states have matching leaf shapes."""
     f32 = jnp.float32
     return TrackerState(
         mode=jnp.int32(MODE_WB if whitebalancing else MODE_VJ),
         wb_ring=jnp.zeros((PWB_LENGTH,), f32), wb_n=jnp.int32(0),
-        cs=cs.init_state(),
+        cs=cs.init_state(sparse_k),
         sm_sp=jnp.zeros((5,), f32), sm_init=jnp.bool_(False),
         face_found=jnp.bool_(False), first_run=jnp.bool_(True),
         diag_ring=jnp.zeros((DIAG_LENGTH,), f32), diag_n=jnp.int32(0),
@@ -188,7 +191,7 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         # VJ -> CS handoff (src/facetrackr.js:97-108)
         switch = conf > CONFIDENCE_THRESHOLD
         rect = jnp.floor(jnp.stack([res.x, res.y, res.w, res.h])).astype(jnp.int32)
-        new_cs = cs.init_tracker(frame, rect)
+        new_cs = cs.init_tracker(frame, rect, config.sparseHist or 0)
         cs_state = jax.tree_util.tree_map(
             lambda a, b: jnp.where(switch, a, b), new_cs, state.cs)
         new_mode = jnp.where(switch, MODE_CS, MODE_VJ).astype(jnp.int32)

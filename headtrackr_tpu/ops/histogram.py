@@ -39,6 +39,7 @@ import numpy as np
 __all__ = ["rgb_bins", "histogram_4096", "histogram_rect",
            "backprojection_weights", "backprojection_pdf",
            "histogram_and_pdf", "histogram_scan", "pdf_scan",
+           "sparse_model_topk", "sparse_hist_counts", "sparse_pdf_scan",
            "split_bf16_3"]
 
 NBINS = 4096
@@ -229,6 +230,71 @@ def pdf_scan(bins, weights, block=None, exact=False):
 
     def body(_, blk):
         return None, _pdf_rows(blk, Wm, exact)
+
+    _, pdf = jax.lax.scan(body, None, blocks)
+    return pdf.reshape(-1)[:P].reshape(shape)
+
+
+def sparse_model_topk(model_hist, k):
+    """(4096,) f32 model histogram -> (bins (k,) i32, counts (k,) f32,
+    overflow bool): the k largest-count bins and whether any nonzero bin was
+    left out.
+
+    The camshift ratio weights min(model/cur, 1) are ZERO wherever the model
+    count is zero (src/camshift.js:314-330), so when the model has <= k
+    distinct bins, backprojection only needs current-frame counts for these k
+    — the basis of the sparse path (TrackerConfig.sparseHist).  Padded
+    entries carry count 0 and therefore weight 0: harmless whichever bin id
+    top_k assigned them.  overflow=True marks a model this k cannot
+    represent; the serving runtime routes such streams through the
+    full-frame fallback (exact, slower)."""
+    counts, bins = jax.lax.top_k(model_hist, k)
+    overflow = jnp.sum(model_hist != 0) > k
+    return bins.astype(jnp.int32), counts, overflow
+
+
+def sparse_hist_counts(bins, model_bins, block=None):
+    """Full-frame EXACT counts of the K model bins only.
+
+    (H, W) i32 bin indices + (K,) i32 bin ids -> (K,) f32 counts, equal to
+    histogram_scan(bins)[model_bins].  One K-lane i8 compare per pixel (vs
+    the 128 lanes of the two-factor formulation) with the pixel reduction on
+    the MXU via a ones-vector dot — single consumer of the one-hot, same
+    fusion shape as the histogram scan."""
+    flat = bins.reshape(-1)
+    blocks = _blocked(flat, block or _pick_block(flat.shape[0]))
+    K = model_bins.shape[0]
+    ones = jnp.ones((1, blocks.shape[1]), jnp.int8)
+
+    def body(acc, blk):
+        oh = (blk[:, None] == model_bins[None, :]).astype(jnp.int8)
+        c = jax.lax.dot_general(ones, oh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return acc + c[0], None
+
+    counts, _ = jax.lax.scan(body, jnp.zeros((K,), jnp.int32), blocks)
+    return counts.astype(jnp.float32)
+
+
+def sparse_pdf_scan(bins, model_bins, weights_k, block=None, exact=False):
+    """Backprojection lookup against a sparse (K,) weight table.
+
+    pdf[p] = weights_k[j] where model_bins[j] == bins[p], else 0 — equal to
+    the dense lookup because absent bins have zero weight.  Each pixel
+    matches at most one lane (top_k ids are distinct), so the row dot has a
+    single nonzero term.  exact follows the dense-path precision contract
+    (DEFAULT bf16-rounds the weights inside the dot; HIGHEST is the
+    bit-exact conformance mode)."""
+    shape = bins.shape
+    flat = bins.reshape(-1)
+    P = flat.shape[0]
+    blocks = _blocked(flat, block or _pick_block(P))
+    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+
+    def body(_, blk):
+        oh = (blk[:, None] == model_bins[None, :]).astype(jnp.float32)
+        return None, jnp.dot(oh, weights_k, precision=prec,
+                             preferred_element_type=jnp.float32)
 
     _, pdf = jax.lax.scan(body, None, blocks)
     return pdf.reshape(-1)[:P].reshape(shape)

@@ -27,8 +27,12 @@ FORMAT_VERSION = 2
 
 # Leaves addable without breaking old checkpoints: absent paths default to
 # zeros of the template leaf (state/pend_age is ephemeral scheduler state —
-# a resumed tracker just restarts its wait counters).
-_OPTIONAL_PATHS = {"state/pend_age"}
+# a resumed tracker just restarts its wait counters; the sparse-model
+# descriptor defaults to all-zero counts -> zero backprojection weights, so
+# an old checkpoint resumed into a sparseHist config loses track on the
+# first tick and cleanly redetects, rebuilding the descriptor at handoff).
+_OPTIONAL_PATHS = {"state/pend_age", "state/cs/model_bins",
+                   "state/cs/model_counts", "state/cs/model_overflow"}
 
 
 def _keyed_leaves(state):

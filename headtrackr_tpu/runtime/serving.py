@@ -426,7 +426,8 @@ class BatchedTracker:
                                bucket=self.bucket, band=band,
                                overload=overload,
                                escape_bucket=escape_bucket)
-        state1 = ft.init_state(self.config.whitebalancing)
+        state1 = ft.init_state(self.config.whitebalancing,
+                               self.config.sparseHist or 0)
         self.state = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(), state1)
         if mesh is not None:
@@ -470,7 +471,8 @@ class BatchedTracker:
         if self._pending_modes is not None:  # drain before overwriting
             self._modes = np.array(self._pending_modes)
             self._pending_modes = None
-        s1 = ft.init_state(self.config.whitebalancing)
+        s1 = ft.init_state(self.config.whitebalancing,
+                           self.config.sparseHist or 0)
         self.state = jax.tree_util.tree_map(
             lambda buf, v: buf.at[i].set(v), self.state, s1)
         self._modes[i] = int(s1.mode)

@@ -110,7 +110,8 @@ class Tracker:
         step = ft.make_step(self._cascade, self.config, (ch, cw),
                             with_pdf=self.config.debug)
         self._step = jax.jit(step, donate_argnums=0)
-        self._state = ft.init_state(self.config.whitebalancing)
+        self._state = ft.init_state(self.config.whitebalancing,
+                                        self.config.sparseHist or 0)
         self._last_frame = None
         self._last_pdf = None
         self._video_faded = False
@@ -162,7 +163,8 @@ class Tracker:
             # compile outlived stop()'s join timeout): keep stop()'s
             # detection-from-scratch contract — discard the result (the old
             # state buffer was donated, so re-init) and emit nothing.
-            self._state = ft.init_state(self.config.whitebalancing)
+            self._state = ft.init_state(self.config.whitebalancing,
+                                        self.config.sparseHist or 0)
             return None
         self._state = state
         elapsed_ms = int((_time.time() - t0) * 1000)
@@ -288,7 +290,8 @@ class Tracker:
             self._thread.join(timeout=5.0)
         self._status_event("stopped")
         if self._state is not None:
-            self._state = ft.init_state(self.config.whitebalancing)
+            self._state = ft.init_state(self.config.whitebalancing,
+                                        self.config.sparseHist or 0)
         self._detection_timer = None
         self._hints_sent = False
         return True
