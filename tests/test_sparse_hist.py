@@ -141,6 +141,35 @@ def test_serving_sparse_equals_dense(sparse_k):
             == np.asarray(finals[None].mode)).all()
 
 
+def test_mesh_serving_with_sparse_matches_single_device():
+    """Sparse descriptors shard with the stream axis: 8 streams on the
+    8-virtual-device mesh, device-scheduled, sparseHist on — equal to the
+    single-device sparse run (the (0,)-leaf sharding bug this feature
+    originally hit is exactly this path)."""
+    import headtrackr_tpu as ht
+    from headtrackr_tpu.parallel import stream_mesh
+
+    def fr(cx, cy):
+        f = np.full((H, W, 3), 40, np.uint8)
+        f[cy - 12:cy + 12, cx - 12:cx + 12] = (230, 80, 60)
+        return f
+
+    frames = np.stack([fr(50 + 4 * i, 40 + 2 * i) for i in range(8)])
+    kw = dict(frame_shape=(H, W), cascade=toy_cascade(), ui=False,
+              band=(64, 96), sparseHist=64, bucket=1)
+    bt_mesh = ht.BatchedTracker(8, mesh=stream_mesh(), **kw)
+    bt_one = ht.BatchedTracker(8, **kw)
+    for _ in range(18):
+        out_m = bt_mesh.step_auto(frames)
+        out_1 = bt_one.step_auto(frames)
+    assert bt_mesh.modes.tolist() == bt_one.modes.tolist() == [ft.MODE_CS] * 8
+    np.testing.assert_array_equal(np.asarray(out_m.face_x),
+                                  np.asarray(out_1.face_x))
+    np.testing.assert_array_equal(np.asarray(out_m.face_w),
+                                  np.asarray(out_1.face_w))
+    assert len(bt_mesh.state.cs.model_bins.sharding.device_set) == 8
+
+
 def test_checkpoint_roundtrip_with_sparse(tmp_path):
     from headtrackr_tpu.runtime import checkpoint as ckpt
     st = ft.init_state(True, 64)
