@@ -4,7 +4,10 @@ The reference has no checkpointing — all state lives in JS closures
 (SURVEY §5).  Here per-stream state is an explicit pytree, so serving state
 (N streams mid-track: mode, model histograms, search windows, smoother, FOV
 caches) round-trips through a flat .npz.  A BatchedTracker can be stopped and
-resumed, or its streams migrated to another chip count, without re-detection.
+resumed, or its streams migrated to another chip count, without re-detection
+(load_tracker re-applies the target tracker's sharding; mesh -> single-device
+and mesh -> different-mesh migration is tested in
+tests/test_checkpoint.py::test_checkpoint_mesh_migration).
 
 Format (v2): leaves are keyed by their TrackerState field paths
 (``state/cs/model_hist`` …), alongside a format version and shape metadata,
@@ -125,7 +128,13 @@ def save_tracker(path, bt):
 
 def load_tracker(path, bt):
     """Restore a checkpoint into an existing BatchedTracker (same n_streams
-    and frame shape — validated)."""
+    and frame shape — validated).  The target tracker's device placement is
+    re-applied explicitly: a mesh tracker gets its stream-axis sharding, a
+    single-device tracker gets plain placement — so checkpoints MIGRATE
+    across chip counts (save on an 8-device mesh, restore on 1 device or a
+    different mesh size; the state schema is placement-independent).  Without
+    this device_put the host arrays would only be re-placed incidentally by
+    the next jit's in_shardings."""
     state, d = _load(path, bt.state)
     if "n_streams" in d and int(d["n_streams"]) != bt.n:
         raise ValueError(f"checkpoint has {int(d['n_streams'])} streams, "
@@ -134,6 +143,11 @@ def load_tracker(path, bt):
         raise ValueError(
             f"checkpoint frame shape {tuple(d['frame_shape'])} != "
             f"tracker {tuple(bt.frame_shape)}")
+    if bt.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        state = jax.device_put(state, NamedSharding(bt.mesh, P("streams")))
+    else:
+        state = jax.device_put(state)
     bt.state = state
     bt._modes = np.array(d["host_modes"])
     bt._pending_modes = None

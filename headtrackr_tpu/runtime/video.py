@@ -128,10 +128,33 @@ class CameraSource(VideoSource):
 
 
 def resize_rgb(frame, w, h):
-    """Nearest-neighbor host resize for source -> canvas normalization
-    (shared by Tracker._capture and BatchedSession._fill_batch)."""
-    import numpy as _np
+    """Host source -> canvas normalization (shared by Tracker._capture and
+    BatchedSession._fill_batch): the reference's interpolated ``drawImage``
+    capture scaling (src/main.js:144-150,168-170), realized with the
+    framework's DEFINED bilinear resampler — the same spec as the pyramid
+    resampler (docs/PARITY.md deviation 2: half-pixel centers, f32 weights,
+    round-half-even to u8), applied per channel.  Identical arithmetic to
+    ops/imageproc.resize_bilinear / oracle.draw_image, so a non-native
+    source normalized here and a native-resolution source resized by any
+    test land on the same defined grid."""
+    frame = np.asarray(frame)
     H, W = frame.shape[:2]
-    ys = (_np.arange(h) * H // h).clip(0, H - 1)
-    xs = (_np.arange(w) * W // w).clip(0, W - 1)
-    return frame[_np.ix_(ys, xs)]
+    if (H, W) == (h, w):
+        return frame
+    rx = np.float32(W) / np.float32(w)
+    ry = np.float32(H) / np.float32(h)
+    xs = np.clip((np.arange(w, dtype=np.float32) + np.float32(0.5)) * rx
+                 - np.float32(0.5), 0, W - 1)
+    ys = np.clip((np.arange(h, dtype=np.float32) + np.float32(0.5)) * ry
+                 - np.float32(0.5), 0, H - 1)
+    x0 = np.floor(xs).astype(np.int32)
+    y0 = np.floor(ys).astype(np.int32)
+    x1 = np.minimum(x0 + 1, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    fx = (xs - x0.astype(np.float32)).astype(np.float32)[None, :, None]
+    fy = (ys - y0.astype(np.float32)).astype(np.float32)[:, None, None]
+    s = frame.astype(np.float32)
+    top = s[np.ix_(y0, x0)] * (1 - fx) + s[np.ix_(y0, x1)] * fx
+    bot = s[np.ix_(y1, x0)] * (1 - fx) + s[np.ix_(y1, x1)] * fx
+    val = top * (1 - fy) + bot * fy
+    return np.rint(np.clip(val, 0, 255)).astype(np.uint8)
