@@ -52,15 +52,29 @@ def _face_rgb():
     return data["rgb"]
 
 
-def build_pool(n_streams, H, W, pool, loss_streams, rng):
+def build_pool(n_streams, H, W, pool, loss_streams, rng, face_noise=0):
     """(pool, N, H, W, 3) u8: faces ping-pong +-2 px/tick; at pool index
     pool//2 the first ``loss_streams`` streams get a blue frame (no overlap
-    with any face/bg histogram bin -> camshift zero-mass loss)."""
+    with any face/bg histogram bin -> camshift zero-mass loss).
+
+    face_noise=k overlays a STATIC per-stream +-k texture on the face pixels
+    (travels with the face): the realistic-palette arm.  The synthetic face
+    alone has ~10 distinct 4-bit RGB bins — unrealistically sparse-friendly —
+    while a webcam face crop has ~100-300; k=12 puts the camshift model crop
+    in that range (measured by the bench's sparse telemetry), so overflow
+    rates for a given sparseHist K are representative, not best-case."""
     rgb = _face_rgb()
     fh, fw = rgb.shape[:2]
     pos = [(4 * int(rng.integers(2, (W - 2 * fw) // 4)),
             4 * int(rng.integers(2, (H - fh - 8) // 4)))
            for _ in range(n_streams)]
+    if face_noise:
+        tex = rng.integers(-face_noise, face_noise + 1,
+                           (n_streams, fh, fw, 3), np.int16)
+        faces = np.clip(rgb.astype(np.int16)[None] + tex, 0, 255) \
+            .astype(np.uint8)
+    else:
+        faces = np.broadcast_to(rgb, (n_streams, fh, fw, 3))
     half = pool // 2
     offs = [2 * t for t in range(half)] + [2 * (pool - t) for t in range(half, pool)]
     batches = np.empty((pool, n_streams, H, W, 3), np.uint8)
@@ -68,7 +82,7 @@ def build_pool(n_streams, H, W, pool, loss_streams, rng):
         batches[t] = _BG
         for i, (px, py) in enumerate(pos):
             x = px + offs[t]
-            batches[t, i, py:py + fh, x:x + fw] = rgb
+            batches[t, i, py:py + fh, x:x + fw] = faces[i]
     if loss_streams:
         blue = np.zeros((H, W, 3), np.uint8)
         blue[..., 2] = 250
@@ -108,12 +122,35 @@ def main():
     ap.add_argument("--sparse-hist", type=int, default=None,
                     help="sparse-model camshift histogram K "
                          "(TrackerConfig.sparseHist): count only the model's "
-                         "top-K bins instead of all 4096.  OFF by default — "
-                         "the bench's synthetic faces have few distinct "
-                         "bins, so enabling it here measures the BEST case, "
-                         "not a typical webcam palette (rich models "
-                         "overflow K and fall back full-frame).  A/B: "
+                         "top-K bins instead of all 4096.  Streams whose "
+                         "model overflows K fall back full-frame (exact, "
+                         "slower) — the bench prints the measured overflow "
+                         "and per-tick fallback rates, and --face-noise "
+                         "makes the model palette webcam-realistic so those "
+                         "rates are representative.  A/B: "
                          "tools/exp_sparse_ab.py")
+    ap.add_argument("--face-noise", type=int, default=0,
+                    help="static per-stream +-k texture on the face pixels: "
+                         "the realistic-palette arm (k=12 puts the model "
+                         "crop at ~100-300 distinct bins like a webcam "
+                         "face; 0 = the ~10-bin synthetic face)")
+    ap.add_argument("--size", type=str, default="320x240",
+                    help="frame size WxH (320x240 default; 640x480 is the "
+                         "chip-qualified second size). --band is "
+                         "window-sized, not frame-sized, so it usually "
+                         "stays put across sizes")
+    ap.add_argument("--overload", type=str, default="full",
+                    choices=["full", "rotate"],
+                    help="device-scheduler mass-pending policy "
+                         "(BatchedTracker overload): 'full' relocks "
+                         "everyone in one slow tick (fastest cold start, "
+                         "measured — tools/exp_coldstart_ab.py); 'rotate' "
+                         "bounds per-tick cost (latency-sensitive serving)")
+    ap.add_argument("--hist-kernel", type=str, default=None,
+                    choices=["pallas"],
+                    help="TrackerConfig.histKernel: run the dense camshift "
+                         "hist/pdf scans as the Mosaic kernels (A/B knob; "
+                         "XLA default is the measured production path)")
     ap.add_argument("--latency-ticks", type=int, default=50)
     ap.add_argument("--h2d", action="store_true",
                     help="also measure true end-to-end ingest (fresh host "
@@ -140,16 +177,23 @@ def main():
     ht.enable_compilation_cache(None if cache_dir == "off" else cache_dir)
     from headtrackr_tpu.models import facetracker as ft
 
-    H, W = 240, 320
+    try:
+        W, H = (int(v) for v in args.size.split("x"))
+    except ValueError:
+        raise SystemExit(f"--size must be WxH (e.g. 320x240); got "
+                         f"{args.size!r}")
     N = args.streams
     rng = np.random.default_rng(0)
-    pool_np = build_pool(N, H, W, args.pool, args.loss_streams, rng)
+    pool_np = build_pool(N, H, W, args.pool, args.loss_streams, rng,
+                         face_noise=args.face_noise)
 
     from headtrackr_tpu.models.camshift import parse_band
     band = parse_band(args.band)
     bt = ht.BatchedTracker(N, frame_shape=(H, W), ui=False,
                            bucket=args.bucket, band=band,
-                           sparseHist=args.sparse_hist)
+                           sparseHist=args.sparse_hist,
+                           overload=args.overload,
+                           histKernel=args.hist_kernel)
 
     print("# compiling (device-scheduled step + scan program)...",
           file=sys.stderr)
@@ -175,6 +219,14 @@ def main():
           f"{100 * locked:.1f}% locked", file=sys.stderr)
     if locked < 0.99:
         print(f"# WARNING: only {100 * locked:.1f}% locked", file=sys.stderr)
+    nbins = (np.asarray(bt.state.cs.model_hist) != 0).sum(axis=-1)
+    sparse_msg = ""
+    if args.sparse_hist:
+        n_over = int(np.asarray(bt.state.cs.model_overflow).sum())
+        sparse_msg = (f"; sparseHist={args.sparse_hist}: {n_over}/{N} models "
+                      f"overflow K (full-frame fallback)")
+    print(f"# model palette: {nbins.min()}-{nbins.max()} distinct bins "
+          f"(median {int(np.median(nbins))}){sparse_msg}", file=sys.stderr)
 
     # Steady state (timed): scan chunks over the pool; faces move every tick,
     # loss-streams lose + redetect once per pass (detector in timed region).
@@ -196,15 +248,32 @@ def main():
     redetects = int((status & ft.STATUS_REDETECTING != 0).sum())
     relocks = int((status & ft.STATUS_FOUND != 0).sum())
     tracking = (bt.modes == ft.MODE_CS).mean()
+    esc = np.concatenate([np.asarray(o.escaped) for o in outs])  # (ticks, N)
     print(f"# steady state: {ticks} ticks x {N} streams in {dt:.2f}s "
           f"({1000 * dt / ticks:.2f} ms/tick); {redetects} losses, "
           f"{relocks} relocks in timed region; {100 * tracking:.0f}% "
           f"tracking at end", file=sys.stderr)
+    print(f"# full-frame fallback (band escape / sparse overflow): "
+          f"{esc.sum(1).mean():.2f} streams/tick mean, "
+          f"{int(esc.sum(1).max())} max, {int(esc.sum())} stream-ticks "
+          f"total", file=sys.stderr)
 
-    # Latency: per-tick device-scheduled step, host-synced every tick.
+    # Latency mode (plan_serving latency_sensitive: scan_len=1): per-tick
+    # device-scheduled step, host-synced every tick.  On this rig every
+    # host sync pays the axon relay RTT (~27 ms, an ENVIRONMENT cost: a
+    # production host syncs over PCIe in ~us), so the relay floor is
+    # measured separately (pure pull of a tiny resident array) and the
+    # device-side tick latency is reported as total minus floor.
     # (frame batches pre-sliced on device so only step+sync is timed)
     slices = [pool[t] for t in range(args.pool)]
     np.asarray(slices[-1][0, 0, 0])
+    tiny = bt.state.mode  # (N,) i32 resident device array
+    rtt = []
+    for _ in range(max(10, args.latency_ticks // 2)):
+        t1 = time.time()
+        np.asarray(tiny)
+        rtt.append(time.time() - t1)
+    rtt_ms = 1000 * np.asarray(rtt)
     lat = []
     for i in range(args.latency_ticks):
         f = slices[i % args.pool]
@@ -213,10 +282,12 @@ def main():
         np.asarray(o.mode_after)
         lat.append(time.time() - t1)
     lat_ms = 1000 * np.asarray(lat)
-    print(f"# per-tick latency (step_auto + sync): p50 "
-          f"{np.percentile(lat_ms, 50):.1f} ms, p99 "
-          f"{np.percentile(lat_ms, 99):.1f} ms over {len(lat)} ticks",
-          file=sys.stderr)
+    p50, p99 = np.percentile(lat_ms, 50), np.percentile(lat_ms, 99)
+    r50 = np.percentile(rtt_ms, 50)
+    print(f"# latency mode (step_auto + sync every tick, {N} streams): "
+          f"p50 {p50:.1f} ms, p99 {p99:.1f} ms over {len(lat)} ticks; "
+          f"tunnel sync floor p50 {r50:.1f} ms (env, not framework) -> "
+          f"device-side tick ~{max(p50 - r50, 0.0):.1f} ms", file=sys.stderr)
 
     if args.h2d:
         n2 = min(N, 8)
@@ -238,7 +309,7 @@ def main():
               f"tunnel-bound, not compute-bound)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"320x240 detect+track frames/sec/chip ({N}-stream serving; "
+        "metric": f"{W}x{H} detect+track frames/sec/chip ({N}-stream serving; "
                   "fresh frame content every tick, losses+redetects in timed "
                   "region, device-scheduled)",
         "value": round(fps, 1),

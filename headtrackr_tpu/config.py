@@ -75,6 +75,25 @@ class TrackerConfig:
                                        # <= 676, typically 30-150 distinct
                                        # bins; K is lane-sized: 64 or 128).
                                        # None = off.  Serving/band path only.
+    histKernel: Optional[str] = None   # "pallas": run the DENSE camshift
+                                       # histogram/backprojection pixel scans
+                                       # as the Mosaic kernels in
+                                       # kernels/histpdf.py (one-hot factors
+                                       # stay in VMEM; pdf lookup exact-f32
+                                       # via the triple-bf16 weight split)
+                                       # instead of the XLA one-hot-matmul
+                                       # scan.  Identical values in exact
+                                       # mode (the kernel pdf is always the
+                                       # exact f32 lookup — it can only
+                                       # DIFFER from the fast/default XLA
+                                       # path, which bf16-rounds weights
+                                       # inside the dot; docs/PARITY.md
+                                       # deviation 10).  Ignored on the
+                                       # sparse path (sparseHist wins — no
+                                       # sparse kernel).  None = XLA (the
+                                       # measured production default; see
+                                       # docs/PERFORMANCE.md "Pallas
+                                       # hist+pdf kernels" for the A/B).
     exactCamshift: bool = False        # True: bit-faithful f32 camshift math
                                        # on TPU (backprojection lookup + moment
                                        # prefix sums at Precision.HIGHEST,

@@ -328,16 +328,38 @@ def _finish(state, win, m, zero_mass, calc_angles, H, W):
                           track_angle=ang.astype(jnp.float32))
 
 
-def track(state, frame_rgb, calc_angles=True, exact=False, block=None):
+def _kernel_blocks(n_px):
+    """Pallas scan block for ``n_px`` pixels: largest exact-divisor
+    128-multiple within the kernels' VMEM budget (kernels/histpdf
+    DEFAULT_BLOCK sizing) — padding-free for every frame/band size whose
+    pixel count divides by 128 (all 8-aligned bands and standard frames)."""
+    from ..ops.histogram import _pick_block
+    from ..kernels.histpdf import DEFAULT_BLOCK
+    return _pick_block(n_px, cap=DEFAULT_BLOCK)
+
+
+def track(state, frame_rgb, calc_angles=True, exact=False, block=None,
+          kernel=None):
     """One camshift frame step (src/camshift.js:213-259).
 
     Returns (new state, full-frame pdf — the debug/backprojection surface).
     exact: bit-faithful f32 camshift math on TPU (conformance mode; on CPU
-    both modes are identical) — see TrackerConfig.exactCamshift."""
+    both modes are identical) — see TrackerConfig.exactCamshift.
+    kernel="pallas": the hist/pdf pixel scans run as the Mosaic kernels
+    (TrackerConfig.histKernel) — the kernel pdf is ALWAYS the exact-f32
+    lookup, so it equals the exact mode bit-for-bit and can only differ
+    from fast mode by the documented bf16-rounding deviation."""
     H, W = frame_rgb.shape[0], frame_rgb.shape[1]
     bins = rgb_bins(frame_rgb)
-    _, pdf = histogram_and_pdf(bins, state.model_hist, exact=exact,
-                               block=block)
+    if kernel == "pallas":
+        from ..kernels.histpdf import hist_pallas, pdf_pallas
+        kblk = _kernel_blocks(H * W)
+        cur = hist_pallas(bins, block=kblk)
+        weights = backprojection_weights(state.model_hist, cur)
+        pdf = pdf_pallas(bins, weights, block=kblk)
+    else:
+        _, pdf = histogram_and_pdf(bins, state.model_hist, exact=exact,
+                                   block=block)
     win, m, zero_mass = mean_shift(pdf, state.window, exact)
     return _finish(state, win, m, zero_mass, calc_angles, H, W), pdf
 
@@ -396,7 +418,7 @@ def parse_band(tok):
 
 
 def track_band(state, frame_rgb, calc_angles=True, exact=False,
-               band=DEFAULT_BAND, block=None):
+               band=DEFAULT_BAND, block=None, kernel=None):
     """Band-local camshift step: same math as ``track`` with the pdf lookup
     and moment reductions restricted to an 8-aligned band around the search
     window (the big steady-state cost cut — the full-frame pdf pass is most
@@ -436,6 +458,10 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
         # fallback recomputes them full-frame (exact, slower).
         cur_k = sparse_hist_counts(bins, state.model_bins, block=block)
         weights_k = backprojection_weights(state.model_counts, cur_k)
+    elif kernel == "pallas":  # dense Mosaic scans (TrackerConfig.histKernel)
+        from ..kernels.histpdf import hist_pallas
+        cur = hist_pallas(bins, block=_kernel_blocks(H * W))
+        weights = backprojection_weights(state.model_hist, cur)
     else:
         cur = histogram_scan(bins, block=block)
         weights = backprojection_weights(state.model_hist, cur)
@@ -452,6 +478,10 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
     if sparse:
         pdf_band = sparse_pdf_scan(band_bins, state.model_bins, weights_k,
                                    exact=exact)
+    elif kernel == "pallas":
+        from ..kernels.histpdf import pdf_pallas
+        pdf_band = pdf_pallas(band_bins, weights,
+                              block=_kernel_blocks(bh * bw))
     else:
         pdf_band = pdf_scan(band_bins, weights, exact=exact)
     win2, m, zero_mass, escaped = _mean_shift_core(

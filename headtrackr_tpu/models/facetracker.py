@@ -95,6 +95,13 @@ class StepOutput(NamedTuple):
     event_face: jnp.ndarray      # bool: facetrackingEvent fired
     fov_deg: jnp.ndarray         # f32 current FOV estimate in degrees
     mode_after: jnp.ndarray      # i32 mode for the NEXT frame (scheduler use)
+    # Serving telemetry (no reference counterpart): True when this stream's
+    # band-local camshift tick was recomputed by the FULL-FRAME fallback —
+    # band escape or sparse-model overflow (runtime/serving._escape_checked
+    # fills it; always False outside the band-local serving paths).  Results
+    # are exact either way; a high rate means the band/sparseHist capacity
+    # knobs are undersized for the workload (docs/PERFORMANCE.md).
+    escaped: jnp.ndarray = False
 
 
 def init_state(whitebalancing=True, sparse_k=0):
@@ -199,7 +206,8 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
 
     def cs_branch(state, frame):
         new_cs, pdf = cs.track(state.cs, frame, config.calcAngles,
-                               config.exactCamshift, config.histBlock)
+                               config.exactCamshift, config.histBlock,
+                               kernel=config.histKernel)
         res = _Result(x=new_cs.track_x.astype(f32), y=new_cs.track_y.astype(f32),
                       w=new_cs.track_w.astype(f32), h=new_cs.track_h.astype(f32),
                       angle=new_cs.track_angle.astype(f32), conf=f32(1.0),
@@ -213,7 +221,8 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
     def cs_branch_band(state, frame):
         new_cs, escaped = cs.track_band(state.cs, frame, config.calcAngles,
                                         config.exactCamshift, band,
-                                        config.histBlock)
+                                        config.histBlock,
+                                        kernel=config.histKernel)
         res = _Result(x=new_cs.track_x.astype(f32), y=new_cs.track_y.astype(f32),
                       w=new_cs.track_w.astype(f32), h=new_cs.track_h.astype(f32),
                       angle=new_cs.track_angle.astype(f32), conf=f32(1.0),
@@ -361,6 +370,7 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
             event_face=is_cs & config.sendEvents,
             fov_deg=fov_width * f32(180.0 / jnp.pi),
             mode_after=mode_after,
+            escaped=jnp.bool_(False),
         )
         new_state = state._replace(
             mode=mode_after, sm_sp=sm_sp, sm_init=sm_init,

@@ -43,10 +43,19 @@ __all__ = ["BatchedTracker", "make_batched_steps", "plan_serving"]
 
 
 def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
-                 simultaneous_losses=None, latency_sensitive=False):
+                 simultaneous_losses=None, latency_sensitive=False,
+                 model_bins=None):
     """Capacity planner: BatchedTracker kwargs (+ a run_scan length) sized
     to a deployment's workload by the rules measured on v5e
-    (docs/PERFORMANCE.md "Scaling" / "Round 2"):
+    (docs/PERFORMANCE.md "Scaling" / "Round 2").
+
+    Validity: every sizing constant below was measured at 320x240 and
+    re-validated at 640x480 on-chip (r4); the band and bucket rules are
+    window- and loss-count-based (not frame-size-based), so they transfer,
+    but frame sizes far outside that range deserve their own
+    tools/exp_*-style qualification run.
+
+    Rules:
 
     - ``band``: camshift search windows run ~1.3x the tracked face, and an
       escape-free band needs +24 px slack per dimension
@@ -62,9 +71,18 @@ def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
       latency-sensitive serving; "full" relocks everyone in one slow tick.
     - ``scan_len``: 16 ticks per run_scan dispatch amortizes the ~1.3 ms
       host dispatch to ~0.1 ms/tick; latency-sensitive callers should
-      drive step_auto tick-by-tick instead (scan_len 1).
+      drive step_auto tick-by-tick instead (scan_len 1 — measured p50/p99
+      in docs/PERFORMANCE.md "Latency mode").
+    - ``sparse_hist``: pass ``model_bins`` (the distinct 4-bit-RGB bin
+      count of your face crops — webcam faces run ~100-300; measure yours
+      with ``(model_hist != 0).sum()`` after a lock) and the planner picks
+      the smallest lane-sized K (64/128) with ~1.3x headroom, or None when
+      models would overflow (an overflowed stream falls back full-frame
+      EVERY tick — exact but slower than dense, so sparse is only
+      recommended when the models fit).
 
-    Returns a dict: band/bucket/overload are BatchedTracker kwargs;
+    Returns a dict: band/bucket/overload/sparse_hist are BatchedTracker
+    kwargs (sparse_hist maps to the ``sparseHist`` config field);
     scan_len is for warmup(scan_len=...)/run_scan.
 
     >>> p = plan_serving(256, max_face_px=40)
@@ -76,11 +94,16 @@ def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
     if simultaneous_losses is None:
         simultaneous_losses = max(1, round(0.02 * n_streams))
     bucket = max(1, min(2 * int(simultaneous_losses), n_streams))
+    sparse = None
+    if model_bins is not None:
+        need = 1.3 * int(model_bins)
+        sparse = 64 if need <= 64 else (128 if need <= 128 else None)
     return {
         "band": band,
         "bucket": bucket,
         "overload": "rotate" if latency_sensitive else "full",
         "scan_len": 1 if latency_sensitive else 16,
+        "sparse_hist": sparse,
     }
 
 
@@ -197,9 +220,17 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
                         jax.tree_util.tree_map(pick, out2, out1))
 
             if ebucket >= N:
-                return jax.lax.cond(nesc == 0, none_, many, None)
-            sel = jnp.where(nesc == 0, 0, jnp.where(nesc <= ebucket, 1, 2))
-            return jax.lax.switch(sel, [none_, few, many], None)
+                st, out = jax.lax.cond(nesc == 0, none_, many, None)
+            else:
+                sel = jnp.where(nesc == 0, 0,
+                                jnp.where(nesc <= ebucket, 1, 2))
+                st, out = jax.lax.switch(sel, [none_, few, many], None)
+            # telemetry AFTER the merge (the sub-batch scatter would clear
+            # it): which streams this tick recomputed full-frame — band
+            # escape or sparse-model overflow (StepOutput.escaped).  Exact
+            # results either way; a sustained rate means the band /
+            # sparseHist capacity knobs are undersized for the workload.
+            return st, out._replace(escaped=esc)
         return fn
 
     def _fast_path(variant):
@@ -465,6 +496,20 @@ class BatchedTracker:
             st, out = fn(state, *args)
             np.asarray(out.mode_after)  # force completion
         return self
+
+    def reset(self):
+        """Re-initialize EVERY stream (fresh cold start; keeps the compiled
+        programs).  The per-stream form is reset_stream."""
+        s1 = ft.init_state(self.config.whitebalancing,
+                           self.config.sparseHist or 0)
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (self.n,) + x.shape).copy(), s1)
+        if self.mesh is not None:
+            state = jax.device_put(
+                state, NamedSharding(self.mesh, P("streams")))
+        self.state = state
+        self._modes = np.full((self.n,), int(s1.mode), np.int32)
+        self._pending_modes = None
 
     def reset_stream(self, i):
         """Re-initialize one stream (new camera connects)."""

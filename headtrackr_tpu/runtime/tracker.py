@@ -270,7 +270,14 @@ class Tracker:
 
     def run_clip(self, max_frames=None):
         """Synchronously drive the source to exhaustion (deterministic path for
-        tests/benchmarks; no timer thread)."""
+        tests/benchmarks; no timer thread).  Mutually exclusive with the
+        ``start()`` timer loop: two drivers would race on the donated device
+        state (the same aliasing hazard the session tokens guard —
+        src/main.js keeps one setTimeout chain for the same reason)."""
+        if self._run or (self._thread is not None and self._thread.is_alive()):
+            raise RuntimeError(
+                "run_clip() while the start() loop is running: one driver "
+                "only — call stop() first (donated-state aliasing)")
         n = 0
         while max_frames is None or n < max_frames:
             out = self.step_once()

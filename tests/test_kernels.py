@@ -41,6 +41,48 @@ def test_split_bf16_3_reconstructs_exactly(rng):
     assert (rec == w).all()
 
 
+def test_histkernel_serving_equals_xla(rng):
+    """TrackerConfig.histKernel='pallas' through the REAL serving scan
+    (band-local camshift + escape fallback + bucket scheduler) must be
+    output- and state-identical to the XLA path on CPU (both paths are
+    full-f32 there; on TPU they differ only by the documented fast-mode
+    bf16 rounding, and are bit-equal in exactCamshift mode)."""
+    from headtrackr_tpu.cascade import toy_cascade
+    from headtrackr_tpu.config import TrackerConfig
+    from headtrackr_tpu.models import facetracker as ft
+    from headtrackr_tpu.runtime.serving import make_batched_steps
+
+    H, W = 120, 160
+
+    def fr(cx, cy):
+        f = np.full((H, W, 3), 40, np.uint8)
+        f[cy - 12:cy + 12, cx - 12:cx + 12] = (230, 80, 60)
+        return f
+
+    clip = np.stack([np.stack([fr(60 + (t % 5), 50), fr(100, 70)])
+                     for t in range(24)])  # (T, 2, H, W, 3)
+    results = {}
+    for kern in (None, "pallas"):
+        cfg = TrackerConfig(smoothing=False, headPosition=False,
+                            histKernel=kern)
+        _, _, _, _, step_scan = make_batched_steps(
+            toy_cascade(), cfg, (H, W), bucket=1, band=(64, 96),
+            donate=False)
+        s1 = ft.init_state(cfg.whitebalancing)
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (2,) + x.shape).copy(), s1)
+        results[kern] = step_scan(state, jnp.asarray(clip))
+
+    (st_x, out_x), (st_p, out_p) = results[None], results["pallas"]
+    assert (np.asarray(st_p.mode) == 2).all()  # both streams locked
+    for name, a, b in zip(out_x._fields, out_x, out_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"output {name}")
+    for a, b in zip(jax.tree_util.tree_leaves(st_x),
+                    jax.tree_util.tree_leaves(st_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_kernels_match_xla_path_bitwise(rng):
     """The kernels must be drop-in replacements for ops/histogram.py's
     histogram_and_pdf: same counts, same f32 pdf, under vmap (serving)."""

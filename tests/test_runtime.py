@@ -72,6 +72,23 @@ def test_tracker_rejects_unknown_params():
         ht.Tracker(nonsense=True)
 
 
+def test_run_clip_refuses_while_started():
+    """run_clip() and the start() timer loop are mutually exclusive drivers
+    of the same donated device state; racing them corrupts buffers, so the
+    synchronous driver must refuse while the loop is live."""
+    t = ht.Tracker(ui=False, bus=ht.events.EventBus(),
+                   cascade=ht.toy_cascade(), detectionInterval=5)
+    t.init(ClipSource(_clip(), loop=True))
+    assert t.start()
+    try:
+        with pytest.raises(RuntimeError, match="one driver"):
+            t.run_clip(max_frames=3)
+    finally:
+        t.stop()
+    assert t.status == "stopped"
+    assert t.run_clip(max_frames=2) == 2  # fine once stopped
+
+
 def test_device_scheduler_overload_policies():
     """Chunked redetect buckets + overload policy (VERDICT r2 items 2/4):
     a moderate loss burst (bucket < npend <= 4*bucket) relocks in ONE
@@ -593,6 +610,14 @@ def test_plan_serving_rules():
                          latency_sensitive=True)
     assert p2["bucket"] == 6
     assert p2["overload"] == "rotate" and p2["scan_len"] == 1
+
+    # sparseHist sizing: smallest lane-sized K with 1.3x headroom over the
+    # deployment's measured model-palette bin count; None when models
+    # would overflow (the fallback is exact but slower than dense).
+    assert ht.plan_serving(256, model_bins=40)["sparse_hist"] == 64
+    assert ht.plan_serving(256, model_bins=90)["sparse_hist"] == 128
+    assert ht.plan_serving(256, model_bins=200)["sparse_hist"] is None
+    assert p["sparse_hist"] is None  # no palette measured -> no sparse
 
     # bucket never exceeds the stream count; band never exceeds the frame
     p3 = ht.plan_serving(2, frame_shape=(60, 80), max_face_px=500,

@@ -128,8 +128,17 @@ def test_serving_sparse_equals_dense(sparse_k):
         finals[k] = st
 
     for name, a, b in zip(outs[None]._fields, outs[None], outs[sparse_k]):
+        if name == "escaped":
+            continue  # telemetry: sparse-overflow fallback differs by design
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=f"output {name}")
+    # the telemetry itself: an overflowed model is on the fallback every
+    # tick once tracking; a fitting model never is (blob locks at tick 17)
+    esc = np.asarray(outs[sparse_k].escaped)
+    if sparse_k == 4:
+        assert esc[20:, 1].all() and not esc[20:, 0].any()
+    else:
+        assert not esc.any()
     # states equal on the shared (non-descriptor) leaves
     for name, a, b in zip(finals[None].cs._fields, finals[None].cs,
                           finals[sparse_k].cs):

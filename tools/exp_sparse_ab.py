@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--pool", type=int, default=16)
     ap.add_argument("--band", type=str, default="96x128")
+    ap.add_argument("--face-noise", type=int, default=0,
+                    help="static per-stream +-k face texture (bench.py "
+                         "--face-noise): k=12 is the webcam-realistic "
+                         "palette arm (~100-300 distinct model bins); 0 is "
+                         "the ~10-bin synthetic best case")
     args = ap.parse_args()
     arms = [None if a == "none" else int(a) for a in args.arms.split(",")]
 
@@ -52,7 +57,8 @@ def main():
     N = args.streams
     band = parse_band(args.band)
     rng = np.random.default_rng(0)
-    pool_np = bench.build_pool(N, H, W, args.pool, 4, rng)
+    pool_np = bench.build_pool(N, H, W, args.pool, 4, rng,
+                               face_noise=args.face_noise)
     pool = jnp.asarray(pool_np)
     np.asarray(pool[0, 0, 0, 0])
 
@@ -65,8 +71,13 @@ def main():
         for _ in range(16):
             bt.step_auto(pool[0])
         locked = (bt.modes == ftm.MODE_CS).mean()
+        nbins = (np.asarray(bt.state.cs.model_hist) != 0).sum(axis=-1)
+        over = (int(np.asarray(bt.state.cs.model_overflow).sum())
+                if k else 0)
         print(f"# sparseHist={k}: compile+lock {time.time() - t0:.0f}s, "
-              f"{100 * locked:.0f}% locked", file=_sys.stderr)
+              f"{100 * locked:.0f}% locked; model bins "
+              f"{nbins.min()}-{nbins.max()} (median {int(np.median(nbins))})"
+              f"{f'; {over}/{N} overflow K' if k else ''}", file=_sys.stderr)
         bt.run_scan(pool)  # first losses/relocks outside timing
         np.asarray(bt.modes)
         trackers[k] = bt

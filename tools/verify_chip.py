@@ -28,22 +28,26 @@ import numpy as np
 _BG = (120, 100, 90)
 
 
-def build_clip(n_track, noise=0):
+def build_clip(n_track, noise=0, size=(240, 320)):
     """17 still frames (WB window + VJ lock) then a +-2 px/tick ping-pong pan.
 
     noise=k adds deterministic uniform +-k LSB sensor noise.  k=0 is the
     DEGENERATE case: pixel-identical content translated in exact 2 px steps
     makes the camshift centroid land exactly on JS truncation boundaries,
     where f32-vs-f64 rounding races decide the result (see docs/PARITY.md);
-    real camera input is never boundary-degenerate."""
+    real camera input is never boundary-degenerate.
+
+    size=(H, W): frame size — (240, 320) keeps the r1-r3 gate clip
+    bit-identical; 640x480 is the second chip-qualified size (the face
+    stays the same pixel size, placed at the same relative position)."""
     import headtrackr_tpu  # noqa: F401  (path side effects only)
     data = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "headtrackr_tpu", "data",
                                 "synthface.npz"))
     rgb = data["rgb"]
     fh, fw = rgb.shape[:2]
-    H, W = 240, 320
-    px, py = 96, 80
+    H, W = size
+    px, py = (96, 80) if (H, W) == (240, 320) else         (4 * ((W // 3) // 4), 4 * ((H // 3) // 4))
 
     def fr(off):
         f = np.full((H, W, 3), _BG, np.uint8)
@@ -108,7 +112,8 @@ def run_oracle(clip):
     from headtrackr_tpu.cascade import frontalface
     from headtrackr_tpu.oracle.pipeline import HeadTracker
 
-    o = HeadTracker(frontalface(), 320, 240, smoothing=False,
+    H, W = clip.shape[1:3]
+    o = HeadTracker(frontalface(), W, H, smoothing=False,
                     head_position=False)
     rows = []
     for f in clip:
@@ -131,7 +136,7 @@ def run_device(clip, exact):
         os.environ.get("HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
     cfg = TrackerConfig(smoothing=False, headPosition=False,
                         exactCamshift=exact)
-    step = ft.make_step(frontalface(), cfg, (240, 320), "full")
+    step = ft.make_step(frontalface(), cfg, clip.shape[1:3], "full")
 
     @jax.jit
     def scan_fn(state, frames):
@@ -152,7 +157,7 @@ def run_device(clip, exact):
                     np.asarray(h).tolist()))
 
 
-def run_device_serving(clip, exact, band="auto"):
+def run_device_serving(clip, exact, band="auto", sparse=None):
     """The PRODUCTION serving path: device-scheduled step_scan (wbtrack /
     bucket / band-local camshift with escape fallback) at n_streams=1."""
     import jax
@@ -167,17 +172,19 @@ def run_device_serving(clip, exact, band="auto"):
     ht.enable_compilation_cache(
         os.environ.get("HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
     cfg = TrackerConfig(smoothing=False, headPosition=False,
-                        exactCamshift=exact)
+                        exactCamshift=exact, sparseHist=sparse)
     _, _, _, _, step_scan = make_batched_steps(
-        frontalface(), cfg, (240, 320), bucket=1, band=band, donate=False)
+        frontalface(), cfg, clip.shape[1:3], bucket=1, band=band,
+        donate=False)
 
-    state1 = ft.init_state(cfg.whitebalancing)
+    state1 = ft.init_state(cfg.whitebalancing, sparse or 0)
     state = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], state1)
     frames = jnp.asarray(clip)[:, None]
     t0 = time.time()
     _, out = step_scan(state, frames)
     det = np.asarray(out.detection)[:, 0]
-    print(f"#   serving run ({'exact' if exact else 'fast'}, band): "
+    print(f"#   serving run ({'exact' if exact else 'fast'}, band"
+          f"{f', sparseHist={sparse}' if sparse else ''}): "
           f"{time.time() - t0:.0f}s incl. compile", file=sys.stderr)
     return list(zip(det.tolist(),
                     np.asarray(out.face_x)[:, 0].tolist(),
@@ -186,7 +193,7 @@ def run_device_serving(clip, exact, band="auto"):
                     np.asarray(out.face_h)[:, 0].tolist()))
 
 
-def run_relock_gate(clip, band="auto"):
+def run_relock_gate(clip, band="auto", sparse=None):
     """Multi-stream bucket-relock stability gate (r3 regression check).
 
     XLA:TPU miscompiled the u8 frame gather feeding bucket sub-batches
@@ -216,10 +223,12 @@ def run_relock_gate(clip, band="auto"):
     blue[..., 2] = 250
     frames[loss_t, :3] = blue
 
-    cfg = TrackerConfig(smoothing=False, headPosition=False)
+    cfg = TrackerConfig(smoothing=False, headPosition=False,
+                        sparseHist=sparse)
     _, _, _, _, step_scan = make_batched_steps(
-        frontalface(), cfg, (240, 320), bucket=2, band=band, donate=False)
-    state1 = ft.init_state(cfg.whitebalancing)
+        frontalface(), cfg, clip.shape[1:3], bucket=2, band=band,
+        donate=False)
+    state1 = ft.init_state(cfg.whitebalancing, sparse or 0)
     state = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(jnp.asarray(x), (N,) + np.shape(x)).copy(),
         state1)
@@ -324,9 +333,21 @@ def main():
                          "(models/camshift.DEFAULT_BAND), 'none', or HxW — "
                          "use the bench's band (bench.py --band default) to "
                          "gate the exact benched configuration")
+    ap.add_argument("--size", type=str, default="320x240",
+                    help="frame size WxH; 320x240 (the r1-r3 gate clip) or "
+                         "640x480 (the second chip-qualified size)")
+    ap.add_argument("--sparse-hist", type=int, default=None,
+                    help="gate the serving path with "
+                         "TrackerConfig.sparseHist=K (sparse-model camshift "
+                         "histograms; the bench's serving configuration)")
     args = ap.parse_args()
     from headtrackr_tpu.models.camshift import parse_band
     band = parse_band(args.band)
+    try:
+        _w, _h = (int(v) for v in args.size.split("x"))
+    except ValueError:
+        raise SystemExit(f"--size must be WxH; got {args.size!r}")
+    size = (_h, _w)
 
     import jax
     print(f"# backend: {jax.devices()}", file=sys.stderr)
@@ -339,9 +360,9 @@ def main():
     results = {}
     for label, noise in (("realistic (+-3 LSB sensor noise)", 3),
                          ("degenerate (pixel-exact 2 px pan)", 0)):
-        clip = build_clip(args.frames, noise=noise)
-        print(f"# clip [{label}]: {len(clip)} frames 320x240, real 16-stage "
-              f"cascade", file=sys.stderr)
+        clip = build_clip(args.frames, noise=noise, size=size)
+        print(f"# clip [{label}]: {len(clip)} frames {args.size}, real "
+              f"16-stage cascade", file=sys.stderr)
         oracle_rows = run_oracle(clip)
         print(f"--- {label}")
         for exact in (False, True):
@@ -349,7 +370,8 @@ def main():
             tag = "exactCamshift" if exact else "fast  (default)"
             results[(noise, exact)] = compare(tag, oracle_rows, dev_rows)
         for exact in (False, True):
-            dev_rows = run_device_serving(clip, exact, band)
+            dev_rows = run_device_serving(clip, exact, band,
+                                          sparse=args.sparse_hist)
             tag = ("serving band exact" if exact else "serving band fast ")
             results[(noise, exact, "band")] = compare(tag, oracle_rows,
                                                       dev_rows)
@@ -360,7 +382,8 @@ def main():
     # camshift) within 0.99 in both modes.  The degenerate clip is reported
     # as the documented worst case (f32-vs-f64 truncation races;
     # docs/PARITY.md).
-    relock_ok = run_relock_gate(build_clip(args.frames, noise=3), band)
+    relock_ok = run_relock_gate(build_clip(args.frames, noise=3, size=size),
+                                band, sparse=args.sparse_hist)
     ok = (results[(3, True)][0] >= 0.999 and results[(3, False)][1] >= 0.99
           and results[(3, True, "band")][1] >= 0.99
           and results[(3, False, "band")][1] >= 0.99
