@@ -57,21 +57,30 @@ def build_pool(n_streams, H, W, pool, loss_streams, rng, face_noise=0):
     pool//2 the first ``loss_streams`` streams get a blue frame (no overlap
     with any face/bg histogram bin -> camshift zero-mass loss).
 
-    face_noise=k overlays a STATIC per-stream +-k texture on the face pixels
-    (travels with the face): the realistic-palette arm.  The synthetic face
-    alone has ~10 distinct 4-bit RGB bins — unrealistically sparse-friendly —
-    while a webcam face crop has ~100-300; k=12 puts the camshift model crop
-    in that range (measured by the bench's sparse telemetry), so overflow
-    rates for a given sparseHist K are representative, not best-case."""
+    face_noise=k overlays a STATIC per-stream CHROMA texture on the face
+    pixels (travels with the face): the realistic-palette arm.  The synthetic
+    face alone has ~2 distinct 4-bit RGB bins — unrealistically
+    sparse-friendly — while a webcam face crop has ~100-300.  The texture is
+    built from integer lattice vectors nearly orthogonal to the cascade's
+    grayscale weighting (30r+59g+11b)/100 — t1*(2,0,-5) + t2*(-2,1,1),
+    t1,t2 ~ U[-k,k] per pixel, drift <= 0.15 gray/unit — because the
+    synthetic face is a cascade preimage with a tight detection margin:
+    LUMA noise of +-6 already breaks VJ detection (measured), while chroma
+    noise is invisible to grayscale yet spreads the 4-bit RGB histogram
+    bins that camshift and sparseHist actually see.  k=20 puts the locked
+    camshift MODEL crop at ~90-100 distinct bins with 100% lock
+    (tests/test_serving_workload.py pins this)."""
     rgb = _face_rgb()
     fh, fw = rgb.shape[:2]
     pos = [(4 * int(rng.integers(2, (W - 2 * fw) // 4)),
             4 * int(rng.integers(2, (H - fh - 8) // 4)))
            for _ in range(n_streams)]
     if face_noise:
-        tex = rng.integers(-face_noise, face_noise + 1,
-                           (n_streams, fh, fw, 3), np.int16)
-        faces = np.clip(rgb.astype(np.int16)[None] + tex, 0, 255) \
+        k = face_noise
+        t1 = rng.integers(-k, k + 1, (n_streams, fh, fw))
+        t2 = rng.integers(-k, k + 1, (n_streams, fh, fw))
+        tex = np.stack([2 * t1 - 2 * t2, t2, -5 * t1 + t2], -1)
+        faces = np.clip(rgb.astype(np.int32)[None] + tex, 0, 255) \
             .astype(np.uint8)
     else:
         faces = np.broadcast_to(rgb, (n_streams, fh, fw, 3))
@@ -130,10 +139,12 @@ def main():
                          "rates are representative.  A/B: "
                          "tools/exp_sparse_ab.py")
     ap.add_argument("--face-noise", type=int, default=0,
-                    help="static per-stream +-k texture on the face pixels: "
-                         "the realistic-palette arm (k=12 puts the model "
-                         "crop at ~100-300 distinct bins like a webcam "
-                         "face; 0 = the ~10-bin synthetic face)")
+                    help="static per-stream chroma texture on the face "
+                         "pixels (luma-preserving, so VJ detection is "
+                         "untouched): the realistic-palette arm.  k=20 "
+                         "puts the camshift model crop at ~90-100 distinct "
+                         "bins like a webcam face; 0 = the ~2-bin "
+                         "synthetic face (see build_pool)")
     ap.add_argument("--size", type=str, default="320x240",
                     help="frame size WxH (320x240 default; 640x480 is the "
                          "chip-qualified second size). --band is "

@@ -34,10 +34,11 @@ def main():
     ap.add_argument("--pool", type=int, default=16)
     ap.add_argument("--band", type=str, default="96x128")
     ap.add_argument("--face-noise", type=int, default=0,
-                    help="static per-stream +-k face texture (bench.py "
-                         "--face-noise): k=12 is the webcam-realistic "
-                         "palette arm (~100-300 distinct model bins); 0 is "
-                         "the ~10-bin synthetic best case")
+                    help="static per-stream luma-preserving chroma face "
+                         "texture (bench.py --face-noise): k=20 is the "
+                         "webcam-realistic palette arm (~90-100 distinct "
+                         "model bins — K=64 overflows, K=128 fits); 0 is "
+                         "the ~2-bin synthetic best case")
     args = ap.parse_args()
     arms = [None if a == "none" else int(a) for a in args.arms.split(",")]
 
