@@ -131,13 +131,16 @@ def main():
     ap.add_argument("--sparse-hist", type=int, default=None,
                     help="sparse-model camshift histogram K "
                          "(TrackerConfig.sparseHist): count only the model's "
-                         "top-K bins instead of all 4096.  Streams whose "
-                         "model overflows K fall back full-frame (exact, "
-                         "slower) — the bench prints the measured overflow "
-                         "and per-tick fallback rates, and --face-noise "
-                         "makes the model palette webcam-realistic so those "
-                         "rates are representative.  A/B: "
-                         "tools/exp_sparse_ab.py")
+                         "top-K bins instead of all 4096.  Measured r4 "
+                         "(tools/exp_sparse_ab.py): K=64 wins ~12%% on "
+                         "sparse 2-3-bin models, but LOSES 1.3x at K=128 on "
+                         "realistic ~94-bin webcam palettes even with zero "
+                         "overflow, and an overflowed K pays sparse+dense "
+                         "(2x) — hence OFF by default; plan_serving "
+                         "recommends 64 only for <=49-bin models.  The "
+                         "bench prints overflow and per-tick fallback "
+                         "telemetry; --face-noise 20 is the realistic "
+                         "palette arm")
     ap.add_argument("--face-noise", type=int, default=0,
                     help="static per-stream chroma texture on the face "
                          "pixels (luma-preserving, so VJ detection is "

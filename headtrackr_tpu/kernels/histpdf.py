@@ -2,12 +2,23 @@
 
 Reference math (spec): 4096-bin RGB histogram and ratio-weight backprojection,
 src/camshift.js:49-72, 314-353.  The XLA formulation (ops/histogram.py) is a
-scan of one-hot factor matmuls; XLA materializes the (block, 64) one-hot
-operands to HBM for every dot (matmul operands are never fused on TPU), which
-makes the two pixel scans HBM-bound.  These kernels keep the one-hot factors
+scan of one-hot factor matmuls; the hypothesis motivating these kernels was
+that XLA materializes the (block, 64) one-hot operands to HBM for every dot,
+making the pixel scans HBM-bound.  These kernels keep the one-hot factors
 in VMEM registers only: per grid step a (BLK, 128) compare builds BOTH factors
 (cols 0-63: hi, cols 64-127: lo), the MXU contracts them, and only bins/pdf
 ever touch HBM.
+
+MEASURED VERDICT (r4, end-to-end): the hypothesis is REFUTED.  Inside the
+real 256-stream serving scan program (TrackerConfig.histKernel="pallas",
+tools/exp_histkernel_ab.py, interleaved reps) the kernels run 27.0 ms/tick
+vs 6.8 for the XLA formulation — 4x slower, dominated by the pdf kernel's
+2,560 serial 64-lane grid steps (same shape as the r3 standalone result:
+hist ties, pdf loses).  XLA's compare-into-dot fusion keeps the production
+path from being HBM-bound in context, so the one-hot materialization cost
+the kernels avoid does not actually dominate.  Windows remain bit-identical
+in both paths.  The kernels stay as a tested correctness alternative and as
+the reference implementation of the exact bf16x3 weight-split trick below.
 
 Exactness contract (the golden tests' invariant):
   - hist: bf16 one-hots are exact 0/1; the MXU accumulates in f32, and counts

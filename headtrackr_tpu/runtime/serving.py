@@ -74,12 +74,16 @@ def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
       drive step_auto tick-by-tick instead (scan_len 1 — measured p50/p99
       in docs/PERFORMANCE.md "Latency mode").
     - ``sparse_hist``: pass ``model_bins`` (the distinct 4-bit-RGB bin
-      count of your face crops — webcam faces run ~100-300; measure yours
-      with ``(model_hist != 0).sum()`` after a lock) and the planner picks
-      the smallest lane-sized K (64/128) with ~1.3x headroom, or None when
-      models would overflow (an overflowed stream falls back full-frame
-      EVERY tick — exact but slower than dense, so sparse is only
-      recommended when the models fit).
+      count of your face crops — webcam faces run ~90-300; measure yours
+      with ``(model_hist != 0).sum()`` after a lock).  The planner
+      recommends K=64 only when 1.3x model_bins fits it, else None —
+      NEVER 128: the r4 end-to-end A/B (tools/exp_sparse_ab.py, 256
+      streams, interleaved reps) measured K=64 at 5.95 vs 6.75 ms/tick
+      dense on 2-3-bin models (the win case), but K=128 at 9.43 vs 7.28
+      dense on realistic ~94-bin models even with zero overflow, and an
+      overflowed K pays sparse+dense (14.2 ms/tick).  Windows bit-match
+      dense in every arm.  So sparse is a special-case knob (uniform
+      markers, synthetic blobs), not the webcam-face path.
 
     Returns a dict: band/bucket/overload/sparse_hist are BatchedTracker
     kwargs (sparse_hist maps to the ``sparseHist`` config field);
@@ -97,7 +101,7 @@ def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
     sparse = None
     if model_bins is not None:
         need = 1.3 * int(model_bins)
-        sparse = 64 if need <= 64 else (128 if need <= 128 else None)
+        sparse = 64 if need <= 64 else None
     return {
         "band": band,
         "bucket": bucket,

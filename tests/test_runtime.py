@@ -611,11 +611,12 @@ def test_plan_serving_rules():
     assert p2["bucket"] == 6
     assert p2["overload"] == "rotate" and p2["scan_len"] == 1
 
-    # sparseHist sizing: smallest lane-sized K with 1.3x headroom over the
-    # deployment's measured model-palette bin count; None when models
-    # would overflow (the fallback is exact but slower than dense).
+    # sparseHist sizing: K=64 with 1.3x headroom over the deployment's
+    # measured model-palette bin count, else None — never 128 (r4 on-chip
+    # A/B: K=128 runs 1.3x slower than dense even when every model fits;
+    # K=64 wins ~12% on <=49-bin models; overflow pays sparse+dense).
     assert ht.plan_serving(256, model_bins=40)["sparse_hist"] == 64
-    assert ht.plan_serving(256, model_bins=90)["sparse_hist"] == 128
+    assert ht.plan_serving(256, model_bins=90)["sparse_hist"] is None
     assert ht.plan_serving(256, model_bins=200)["sparse_hist"] is None
     assert p["sparse_hist"] is None  # no palette measured -> no sparse
 
