@@ -281,11 +281,16 @@ def main():
     # (frame batches pre-sliced on device so only step+sync is timed)
     slices = [pool[t] for t in range(args.pool)]
     np.asarray(slices[-1][0, 0, 0])
-    tiny = bt.state.mode  # (N,) i32 resident device array
+    # distinct resident (N,) arrays: jax caches the host copy of an array
+    # after its first pull, so re-pulling ONE array measures ~0 — each probe
+    # must be a fresh buffer's first device_get.
+    n_rtt = max(10, args.latency_ticks // 2)
+    tinies = [bt.state.mode + i for i in range(n_rtt + 1)]
+    np.asarray(tinies[-1])  # all enqueued adds complete before probing
     rtt = []
-    for _ in range(max(10, args.latency_ticks // 2)):
+    for a in tinies[:-1]:
         t1 = time.time()
-        np.asarray(tiny)
+        np.asarray(a)
         rtt.append(time.time() - t1)
     rtt_ms = 1000 * np.asarray(rtt)
     lat = []
