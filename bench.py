@@ -160,6 +160,13 @@ def main():
                          "everyone in one slow tick (fastest cold start, "
                          "measured — tools/exp_coldstart_ab.py); 'rotate' "
                          "bounds per-tick cost (latency-sensitive serving)")
+    ap.add_argument("--band-hist", action="store_true",
+                    help="TrackerConfig.bandHist: count the current camshift "
+                         "histogram over the band instead of the full frame "
+                         "(~6x less histogram work; APPROXIMATE when "
+                         "model-colored pixels exist outside the band — "
+                         "docs/PARITY.md deviation 13; exact on this "
+                         "workload).  A/B: tools/exp_bandhist_ab.py")
     ap.add_argument("--hist-kernel", type=str, default=None,
                     choices=["pallas"],
                     help="TrackerConfig.histKernel: run the dense camshift "
@@ -207,7 +214,8 @@ def main():
                            bucket=args.bucket, band=band,
                            sparseHist=args.sparse_hist,
                            overload=args.overload,
-                           histKernel=args.hist_kernel)
+                           histKernel=args.hist_kernel,
+                           bandHist=args.band_hist)
 
     print("# compiling (device-scheduled step + scan program)...",
           file=sys.stderr)

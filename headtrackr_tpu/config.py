@@ -75,6 +75,31 @@ class TrackerConfig:
                                        # <= 676, typically 30-150 distinct
                                        # bins; K is lane-sized: 64 or 128).
                                        # None = off.  Serving/band path only.
+    bandHist: bool = False             # True: the band-local serving path
+                                       # also counts the CURRENT histogram
+                                       # over the band instead of the full
+                                       # frame (src/camshift.js:268 counts
+                                       # full-frame).  ~6x less histogram
+                                       # work at the default 96x128 band —
+                                       # the full-frame chain is the largest
+                                       # steady-tick cost.  APPROXIMATE by
+                                       # design (docs/PARITY.md deviation
+                                       # 13): ratio weights min(model/cur,1)
+                                       # use band-local cur counts, which
+                                       # equal full-frame counts EXACTLY
+                                       # whenever every model-colored pixel
+                                       # lies inside the band (true for all
+                                       # conformance clips + the bench
+                                       # workload); when background shares
+                                       # model bins, weights inflate toward
+                                       # 1 (never below the reference
+                                       # value).  Zero-mass LOSS semantics
+                                       # are unchanged (bins absent from the
+                                       # band are never read by the band
+                                       # pdf).  Escape-fallback ticks still
+                                       # use the reference-exact full-frame
+                                       # weights.  Band/serving path only;
+                                       # off = reference-exact.
     histKernel: Optional[str] = None   # "pallas": run the DENSE camshift
                                        # histogram/backprojection pixel scans
                                        # as the Mosaic kernels in

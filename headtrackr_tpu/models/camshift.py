@@ -418,7 +418,7 @@ def parse_band(tok):
 
 
 def track_band(state, frame_rgb, calc_angles=True, exact=False,
-               band=DEFAULT_BAND, block=None, kernel=None):
+               band=DEFAULT_BAND, block=None, kernel=None, band_hist=False):
     """Band-local camshift step: same math as ``track`` with the pdf lookup
     and moment reductions restricted to an 8-aligned band around the search
     window (the big steady-state cost cut — the full-frame pdf pass is most
@@ -444,27 +444,20 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
     (absent bins have zero weight).  A stream whose model overflowed K is
     reported escaped every tick, so the caller's full-frame fallback keeps
     it exact.
+
+    band_hist=True (TrackerConfig.bandHist): the CURRENT histogram is also
+    counted over the band instead of the full frame — ~6x less scan work at
+    the default band, but APPROXIMATE when model-colored pixels exist
+    outside the band (band cur counts <= full-frame counts, so ratio
+    weights can only inflate toward 1; bins absent from the band are never
+    read by the band pdf, and a zero-mass loss stays zero-mass).  Exact
+    whenever the band contains every model-colored pixel — docs/PARITY.md
+    deviation 13.
     """
     H, W = frame_rgb.shape[0], frame_rgb.shape[1]
     bh = min(band[0], H)
     bw = min(band[1], W)
     bins = rgb_bins(frame_rgb)
-    sparse = state.model_bins is not None  # static (TrackerConfig.sparseHist)
-    if sparse:
-        # K-lane current counts of the model's bins only: weights are zero
-        # wherever the model count is zero (src/camshift.js:314-330), so the
-        # full 4096-bin scan is unnecessary for a <= K-bin model.  Streams
-        # whose model overflowed K are flagged escaped below — the serving
-        # fallback recomputes them full-frame (exact, slower).
-        cur_k = sparse_hist_counts(bins, state.model_bins, block=block)
-        weights_k = backprojection_weights(state.model_counts, cur_k)
-    elif kernel == "pallas":  # dense Mosaic scans (TrackerConfig.histKernel)
-        from ..kernels.histpdf import hist_pallas
-        cur = hist_pallas(bins, block=_kernel_blocks(H * W))
-        weights = backprojection_weights(state.model_hist, cur)
-    else:
-        cur = histogram_scan(bins, block=block)
-        weights = backprojection_weights(state.model_hist, cur)
 
     # center the band on the clamped search window, 8-aligned (sublane/lane
     # friendly dynamic_slice starts), clipped to the frame
@@ -473,8 +466,30 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
     cy = jnp.clip(win[1], 0, H) + win[3] // 2
     rx = jnp.clip((cx - bw // 2) & ~7, 0, W - bw)
     ry = jnp.clip((cy - bh // 2) & ~7, 0, H - bh)
-
     band_bins = jax.lax.dynamic_slice(bins, (ry, rx), (bh, bw))
+
+    # current-histogram source: full frame (reference semantics) or the band
+    # (bandHist approximation).  A full-frame ``block`` cannot divide the
+    # band's pixel count, so the band scans auto-size their block.
+    hist_bins = band_bins if band_hist else bins
+    hist_block = None if band_hist else block
+    sparse = state.model_bins is not None  # static (TrackerConfig.sparseHist)
+    if sparse:
+        # K-lane current counts of the model's bins only: weights are zero
+        # wherever the model count is zero (src/camshift.js:314-330), so the
+        # full 4096-bin scan is unnecessary for a <= K-bin model.  Streams
+        # whose model overflowed K are flagged escaped below — the serving
+        # fallback recomputes them full-frame (exact, slower).
+        cur_k = sparse_hist_counts(hist_bins, state.model_bins,
+                                   block=hist_block)
+        weights_k = backprojection_weights(state.model_counts, cur_k)
+    elif kernel == "pallas":  # dense Mosaic scans (TrackerConfig.histKernel)
+        from ..kernels.histpdf import hist_pallas
+        cur = hist_pallas(hist_bins, block=_kernel_blocks(hist_bins.size))
+        weights = backprojection_weights(state.model_hist, cur)
+    else:
+        cur = histogram_scan(hist_bins, block=hist_block)
+        weights = backprojection_weights(state.model_hist, cur)
     if sparse:
         pdf_band = sparse_pdf_scan(band_bins, state.model_bins, weights_k,
                                    exact=exact)

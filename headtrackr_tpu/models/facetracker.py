@@ -222,7 +222,8 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         new_cs, escaped = cs.track_band(state.cs, frame, config.calcAngles,
                                         config.exactCamshift, band,
                                         config.histBlock,
-                                        kernel=config.histKernel)
+                                        kernel=config.histKernel,
+                                        band_hist=config.bandHist)
         res = _Result(x=new_cs.track_x.astype(f32), y=new_cs.track_y.astype(f32),
                       w=new_cs.track_w.astype(f32), h=new_cs.track_h.astype(f32),
                       angle=new_cs.track_angle.astype(f32), conf=f32(1.0),

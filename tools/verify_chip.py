@@ -157,7 +157,8 @@ def run_device(clip, exact):
                     np.asarray(h).tolist()))
 
 
-def run_device_serving(clip, exact, band="auto", sparse=None):
+def run_device_serving(clip, exact, band="auto", sparse=None,
+                       band_hist=False):
     """The PRODUCTION serving path: device-scheduled step_scan (wbtrack /
     bucket / band-local camshift with escape fallback) at n_streams=1."""
     import jax
@@ -172,7 +173,8 @@ def run_device_serving(clip, exact, band="auto", sparse=None):
     ht.enable_compilation_cache(
         os.environ.get("HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
     cfg = TrackerConfig(smoothing=False, headPosition=False,
-                        exactCamshift=exact, sparseHist=sparse)
+                        exactCamshift=exact, sparseHist=sparse,
+                        bandHist=band_hist)
     _, _, _, _, step_scan = make_batched_steps(
         frontalface(), cfg, clip.shape[1:3], bucket=1, band=band,
         donate=False)
@@ -193,7 +195,7 @@ def run_device_serving(clip, exact, band="auto", sparse=None):
                     np.asarray(out.face_h)[:, 0].tolist()))
 
 
-def run_relock_gate(clip, band="auto", sparse=None):
+def run_relock_gate(clip, band="auto", sparse=None, band_hist=False):
     """Multi-stream bucket-relock stability gate (r3 regression check).
 
     XLA:TPU miscompiled the u8 frame gather feeding bucket sub-batches
@@ -224,7 +226,7 @@ def run_relock_gate(clip, band="auto", sparse=None):
     frames[loss_t, :3] = blue
 
     cfg = TrackerConfig(smoothing=False, headPosition=False,
-                        sparseHist=sparse)
+                        sparseHist=sparse, bandHist=band_hist)
     _, _, _, _, step_scan = make_batched_steps(
         frontalface(), cfg, clip.shape[1:3], bucket=2, band=band,
         donate=False)
@@ -340,6 +342,13 @@ def main():
                     help="gate the serving path with "
                          "TrackerConfig.sparseHist=K (sparse-model camshift "
                          "histograms; the bench's serving configuration)")
+    ap.add_argument("--band-hist", action="store_true",
+                    help="gate the serving path with "
+                         "TrackerConfig.bandHist (band-local current "
+                         "histograms — the approximate serving mode, "
+                         "PARITY deviation 13; bit-exact on these clips "
+                         "because the synthface handoff model carries no "
+                         "background bins)")
     args = ap.parse_args()
     from headtrackr_tpu.models.camshift import parse_band
     band = parse_band(args.band)
@@ -371,7 +380,8 @@ def main():
             results[(noise, exact)] = compare(tag, oracle_rows, dev_rows)
         for exact in (False, True):
             dev_rows = run_device_serving(clip, exact, band,
-                                          sparse=args.sparse_hist)
+                                          sparse=args.sparse_hist,
+                                          band_hist=args.band_hist)
             tag = ("serving band exact" if exact else "serving band fast ")
             results[(noise, exact, "band")] = compare(tag, oracle_rows,
                                                       dev_rows)
@@ -387,7 +397,8 @@ def main():
     # within 0.99 in both modes.  The degenerate clip is reported as the
     # documented worst case (f32-vs-f64 truncation races; docs/PARITY.md).
     relock_ok = run_relock_gate(build_clip(args.frames, noise=3, size=size),
-                                band, sparse=args.sparse_hist)
+                                band, sparse=args.sparse_hist,
+                                band_hist=args.band_hist)
     if size == (240, 320):
         exact_ok = results[(3, True)][0] >= 0.999
         exact_desc = "exact bit-perfect"
