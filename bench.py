@@ -160,13 +160,20 @@ def main():
                          "everyone in one slow tick (fastest cold start, "
                          "measured — tools/exp_coldstart_ab.py); 'rotate' "
                          "bounds per-tick cost (latency-sensitive serving)")
-    ap.add_argument("--band-hist", action="store_true",
+    ap.add_argument("--band-hist", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="TrackerConfig.bandHist: count the current camshift "
                          "histogram over the band instead of the full frame "
                          "(~6x less histogram work; APPROXIMATE when "
                          "model-colored pixels exist outside the band — "
-                         "docs/PARITY.md deviation 13; exact on this "
-                         "workload).  A/B: tools/exp_bandhist_ab.py")
+                         "docs/PARITY.md deviation 13; bit-equal on this "
+                         "workload, measured: 4096/4096 windows vs the "
+                         "full-frame path, and the on-chip conformance "
+                         "gate passes with the mode on).  Default ON "
+                         "(the serving mode, 73.4k vs 49.6k fps r4); "
+                         "--no-band-hist is the reference-exact "
+                         "full-frame-histogram arm.  A/B: "
+                         "tools/exp_bandhist_ab.py")
     ap.add_argument("--hist-kernel", type=str, default=None,
                     choices=["pallas"],
                     help="TrackerConfig.histKernel: run the dense camshift "
@@ -335,10 +342,11 @@ def main():
               f"streams ({mbps:.0f} MB/s vs ~40 MB/s wire ceiling — "
               f"tunnel-bound, not compute-bound)", file=sys.stderr)
 
+    bh_tag = ", band-local hist" if args.band_hist else ""
     print(json.dumps({
         "metric": f"{W}x{H} detect+track frames/sec/chip ({N}-stream serving; "
                   "fresh frame content every tick, losses+redetects in timed "
-                  "region, device-scheduled)",
+                  f"region, device-scheduled{bh_tag})",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 20000.0, 4),
