@@ -89,6 +89,14 @@ def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
     kwargs (sparse_hist maps to the ``sparseHist`` config field);
     scan_len is for warmup(scan_len=...)/run_scan.
 
+    Not planned here but worth knowing: ``bandHist=True`` (band-local
+    current histograms) is the measured +48% throughput serving mode
+    (73.4k vs 49.6k fps/chip at 256 streams, r4).  It is approximate by
+    design — exact only when handoff models carry no background-colored
+    bins (docs/PARITY.md deviation 13) — so it is a deployment judgement
+    call on your content, not a workload-sizing rule this planner can
+    make for you.
+
     >>> p = plan_serving(256, max_face_px=40)
     >>> bt = BatchedTracker(256, band=p["band"], bucket=p["bucket"],
     ...                     overload=p["overload"])
