@@ -99,6 +99,69 @@ def build_pool(n_streams, H, W, pool, loss_streams, rng, face_noise=0):
     return batches
 
 
+def measure_serving(bt, pool, scan_len, n_ticks, ft, sparse_hist=None,
+                    tag=""):
+    """Lock phase + timed steady-state scan on a warmed BatchedTracker.
+    Returns (fps, lock_fps, telemetry-dict).  Shared by the headline arm and
+    the reference-exact arm so both numbers come from the same protocol."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    N = int(pool.shape[1])
+    pool_len = int(pool.shape[0])
+    t_l0 = time.time()
+    for _ in range(16):
+        bt.step_auto(pool[0])
+    locked = (bt.modes == ft.MODE_CS).mean()
+    dt_l = time.time() - t_l0
+    lock_fps = 16 * N / dt_l
+    print(f"#{tag} lock: {16 * N} frames in {dt_l:.1f}s "
+          f"({lock_fps:.0f} fps cold-start), "
+          f"{100 * locked:.1f}% locked", file=sys.stderr)
+    if locked < 0.99:
+        print(f"#{tag} WARNING: only {100 * locked:.1f}% locked",
+              file=sys.stderr)
+    nbins = (np.asarray(bt.state.cs.model_hist) != 0).sum(axis=-1)
+    sparse_msg = ""
+    if sparse_hist:
+        n_over = int(np.asarray(bt.state.cs.model_overflow).sum())
+        sparse_msg = (f"; sparseHist={sparse_hist}: {n_over}/{N} models "
+                      f"overflow K (full-frame fallback)")
+    print(f"#{tag} model palette: {nbins.min()}-{nbins.max()} distinct bins "
+          f"(median {int(np.median(nbins))}){sparse_msg}", file=sys.stderr)
+
+    # Steady state (timed): scan chunks over the pool; faces move every tick,
+    # loss-streams lose + redetect once per pass (detector in timed region).
+    chunks = max(1, n_ticks // scan_len)
+    reps = scan_len // pool_len
+    seq = jnp.concatenate([pool] * reps) if reps > 1 else pool
+    ticks = chunks * int(seq.shape[0])  # derive from the actual dispatch shape
+    out = bt.run_scan(seq)  # rotate once pre-timing (first losses/relocks)
+    np.asarray(out.mode_after[-1])
+    outs = []
+    t0 = time.time()
+    for _ in range(chunks):
+        outs.append(bt.run_scan(seq))
+    np.asarray(outs[-1].mode_after[-1])  # true sync (block_until_ready
+    dt = time.time() - t0               # returns at enqueue on axon)
+    fps = N * ticks / dt
+
+    status = np.concatenate([np.asarray(o.status) for o in outs])  # (ticks, N)
+    redetects = int((status & ft.STATUS_REDETECTING != 0).sum())
+    relocks = int((status & ft.STATUS_FOUND != 0).sum())
+    tracking = (bt.modes == ft.MODE_CS).mean()
+    esc = np.concatenate([np.asarray(o.escaped) for o in outs])  # (ticks, N)
+    print(f"#{tag} steady state: {ticks} ticks x {N} streams in {dt:.2f}s "
+          f"({1000 * dt / ticks:.2f} ms/tick); {redetects} losses, "
+          f"{relocks} relocks in timed region; {100 * tracking:.0f}% "
+          f"tracking at end", file=sys.stderr)
+    print(f"#{tag} full-frame fallback (band escape / sparse overflow): "
+          f"{esc.sum(1).mean():.2f} streams/tick mean, "
+          f"{int(esc.sum(1).max())} max, {int(esc.sum())} stream-ticks "
+          f"total", file=sys.stderr)
+    return fps, lock_fps, {"ticks": ticks, "tracking": float(tracking)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=256)
@@ -179,6 +242,15 @@ def main():
                     help="TrackerConfig.histKernel: run the dense camshift "
                          "hist/pdf scans as the Mosaic kernels (A/B knob; "
                          "XLA default is the measured production path)")
+    ap.add_argument("--exact-arm", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="when --band-hist is on, ALSO measure the "
+                         "reference-exact full-frame-histogram arm (same "
+                         "protocol, second compiled program) and emit it as "
+                         "exact_value in the JSON line, so BENCH_r*.json "
+                         "self-documents approximate vs exact (VERDICT r4 "
+                         "item 5).  --no-exact-arm skips the second "
+                         "compile+phase")
     ap.add_argument("--latency-ticks", type=int, default=50)
     ap.add_argument("--h2d", action="store_true",
                     help="also measure true end-to-end ingest (fresh host "
@@ -237,55 +309,32 @@ def main():
           f"{time.time() - t_u0:.1f}s (tunnel-limited; see --h2d)",
           file=sys.stderr)
 
-    # Lock phase: WB stabilization (15 ticks) + VJ detect + CS handoff.
-    t_l0 = time.time()
-    for _ in range(16):
-        bt.step_auto(pool[0])
-    locked = (bt.modes == ft.MODE_CS).mean()
-    dt_l = time.time() - t_l0
-    print(f"# lock: {16 * N} frames in {dt_l:.1f}s "
-          f"({16 * N / dt_l:.0f} fps cold-start), "
-          f"{100 * locked:.1f}% locked", file=sys.stderr)
-    if locked < 0.99:
-        print(f"# WARNING: only {100 * locked:.1f}% locked", file=sys.stderr)
-    nbins = (np.asarray(bt.state.cs.model_hist) != 0).sum(axis=-1)
-    sparse_msg = ""
-    if args.sparse_hist:
-        n_over = int(np.asarray(bt.state.cs.model_overflow).sum())
-        sparse_msg = (f"; sparseHist={args.sparse_hist}: {n_over}/{N} models "
-                      f"overflow K (full-frame fallback)")
-    print(f"# model palette: {nbins.min()}-{nbins.max()} distinct bins "
-          f"(median {int(np.median(nbins))}){sparse_msg}", file=sys.stderr)
+    # Lock phase (WB stabilization + VJ detect + CS handoff) + timed steady
+    # state, via the shared protocol.
+    fps, lock_fps, _ = measure_serving(bt, pool, scan_len, args.ticks, ft,
+                                       sparse_hist=args.sparse_hist)
 
-    # Steady state (timed): scan chunks over the pool; faces move every tick,
-    # loss-streams lose + redetect once per pass (detector in timed region).
-    chunks = max(1, args.ticks // scan_len)
-    reps = scan_len // args.pool
-    seq = jnp.concatenate([pool] * reps) if reps > 1 else pool
-    ticks = chunks * int(seq.shape[0])  # derive from the actual dispatch shape
-    out = bt.run_scan(seq)  # rotate once pre-timing (first losses/relocks)
-    np.asarray(out.mode_after[-1])
-    outs = []
-    t0 = time.time()
-    for _ in range(chunks):
-        outs.append(bt.run_scan(seq))
-    np.asarray(outs[-1].mode_after[-1])  # true sync (block_until_ready
-    dt = time.time() - t0               # returns at enqueue on axon)
-    fps = N * ticks / dt
-
-    status = np.concatenate([np.asarray(o.status) for o in outs])  # (ticks, N)
-    redetects = int((status & ft.STATUS_REDETECTING != 0).sum())
-    relocks = int((status & ft.STATUS_FOUND != 0).sum())
-    tracking = (bt.modes == ft.MODE_CS).mean()
-    esc = np.concatenate([np.asarray(o.escaped) for o in outs])  # (ticks, N)
-    print(f"# steady state: {ticks} ticks x {N} streams in {dt:.2f}s "
-          f"({1000 * dt / ticks:.2f} ms/tick); {redetects} losses, "
-          f"{relocks} relocks in timed region; {100 * tracking:.0f}% "
-          f"tracking at end", file=sys.stderr)
-    print(f"# full-frame fallback (band escape / sparse overflow): "
-          f"{esc.sum(1).mean():.2f} streams/tick mean, "
-          f"{int(esc.sum(1).max())} max, {int(esc.sum())} stream-ticks "
-          f"total", file=sys.stderr)
+    # Reference-exact arm: same protocol with full-frame current histograms
+    # (bandHist off) so the JSON carries approximate AND exact numbers from
+    # one run (VERDICT r4 item 5).  Fresh tracker = fresh lock, independent
+    # program (the compile cache makes repeat runs cheap).
+    exact_fps = None
+    if args.band_hist and args.exact_arm:
+        print("# compiling (reference-exact arm: bandHist off)...",
+              file=sys.stderr)
+        t_c1 = time.time()
+        bt_x = ht.BatchedTracker(N, frame_shape=(H, W), ui=False,
+                                 bucket=args.bucket, band=band,
+                                 sparseHist=args.sparse_hist,
+                                 overload=args.overload,
+                                 histKernel=args.hist_kernel,
+                                 bandHist=False)
+        bt_x.warmup(scan_len=scan_len, host_sched=False)
+        print(f"# compile: {time.time() - t_c1:.0f}s", file=sys.stderr)
+        exact_fps, _, _ = measure_serving(bt_x, pool, scan_len, args.ticks,
+                                          ft, sparse_hist=args.sparse_hist,
+                                          tag=" [exact]")
+        del bt_x
 
     # Latency mode (plan_serving latency_sensitive: scan_len=1): per-tick
     # device-scheduled step, host-synced every tick.  On this rig every
@@ -343,14 +392,21 @@ def main():
               f"tunnel-bound, not compute-bound)", file=sys.stderr)
 
     bh_tag = ", band-local hist" if args.band_hist else ""
-    print(json.dumps({
+    record = {
         "metric": f"{W}x{H} detect+track frames/sec/chip ({N}-stream serving; "
                   "fresh frame content every tick, losses+redetects in timed "
                   f"region, device-scheduled{bh_tag})",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 20000.0, 4),
-    }))
+    }
+    if exact_fps is not None:
+        # Reference-exact semantics (full-frame current histograms), same
+        # protocol — the headline value uses the bandHist serving mode
+        # (docs/PARITY.md deviation 13).
+        record["exact_value"] = round(exact_fps, 1)
+        record["exact_vs_baseline"] = round(exact_fps / 20000.0, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -92,7 +92,8 @@ class TrackerConfig:
                                        # conformance clips + the bench
                                        # workload); when background shares
                                        # model bins, weights inflate toward
-                                       # 1 (never below the reference
+                                       # 1 (for every bin the band pdf
+                                       # reads, never below the reference
                                        # value).  Zero-mass LOSS semantics
                                        # are unchanged (bins absent from the
                                        # band are never read by the band

@@ -32,7 +32,10 @@ FADE_SECONDS = 3.0  # src/ui.js:61
 
 
 class Ui:
-    def __init__(self, bus=None, echo=False, auto_fade=False):
+    def __init__(self, bus=None, echo=False, auto_fade=True):
+        # auto_fade defaults ON for reference parity: the overlay always
+        # clears 3 s after the last message (src/ui.js:61-69).  Pass False
+        # for a sticky message (deterministic assertions in tests/tools).
         self._bus = bus or ev.default_bus
         self.echo = echo
         self.auto_fade = auto_fade

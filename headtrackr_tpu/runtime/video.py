@@ -40,15 +40,27 @@ class VideoSource:
 
 
 class ClipSource(VideoSource):
-    """Frames from an in-memory array/list or .npy/.npz file — the altVideo
-    equivalent and the deterministic test fixture."""
+    """Frames from an in-memory array/list, a .npy/.npz file, or a video
+    file (any container OpenCV can decode) — the altVideo equivalent
+    (src/main.js:79-97 picks an .ogv/.mp4 altVideo by codec support and
+    plays it looped in place of the camera) and the deterministic test
+    fixture.
 
-    def __init__(self, frames, loop=False):
+    Video files are decoded eagerly to one (T, H, W, 3) u8 array so read()
+    and rewind() keep array semantics (the reference altVideo is a short
+    clip looped forever; `max_frames` bounds memory for long files).
+    Decoding requires OpenCV: like CameraSource, a missing cv2 raises
+    RuntimeError("no getUserMedia") so the runtime's support-status mapping
+    applies."""
+
+    def __init__(self, frames, loop=False, max_frames=None):
         if isinstance(frames, str):
             if frames.endswith(".npz"):
                 frames = np.load(frames)["frames"]
-            else:
+            elif frames.endswith(".npy"):
                 frames = np.load(frames)
+            else:
+                frames = _decode_video(frames, max_frames)
         self.frames = np.asarray(frames)
         assert self.frames.ndim == 4 and self.frames.shape[-1] == 3
         assert self.frames.dtype == np.uint8
@@ -67,6 +79,31 @@ class ClipSource(VideoSource):
 
     def rewind(self):
         self.pos = 0
+
+
+def _decode_video(path, max_frames=None):
+    """Decode a video file to (T, H, W, 3) u8 RGB via OpenCV (optional dep,
+    not in this image).  Raises RuntimeError on missing cv2 / unreadable
+    file so callers get the same support-status mapping as CameraSource."""
+    try:
+        import cv2
+    except ImportError as e:
+        raise RuntimeError("no getUserMedia") from e
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cannot open video file: {path}")
+    out = []
+    try:
+        while max_frames is None or len(out) < max_frames:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            out.append(np.ascontiguousarray(frame[..., ::-1]))  # BGR -> RGB
+    finally:
+        cap.release()
+    if not out:
+        raise RuntimeError(f"no decodable frames in: {path}")
+    return np.stack(out)
 
 
 class SyntheticFaceSource(VideoSource):

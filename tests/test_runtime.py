@@ -53,7 +53,9 @@ def test_tracker_lifecycle_events(session):
     assert 50 < he.z < 70  # init distance assumption ~60 cm
     assert t.getFOV() > 0
     assert t.status == "tracking"
-    assert t._ui.message == "Face found! Move your head!"
+    # auto_fade now defaults on (src/ui.js:61-69 parity): the message is
+    # either still showing or already cleared by the 3 s fade on a slow run.
+    assert t._ui.message in ("Face found! Move your head!", "")
 
 
 def test_tracker_threaded_start_stop():
@@ -422,11 +424,68 @@ def test_synthetic_source_drives_lifecycle():
     assert t.status in ("tracking",)
 
 
+def test_clipsource_video_file_requires_cv2(tmp_path):
+    """Video-file ClipSource (altVideo parity, src/main.js:79-97): without
+    OpenCV the constructor maps to the same support status as CameraSource."""
+    try:
+        import cv2  # noqa: F401
+        has_cv2 = True
+    except ImportError:
+        has_cv2 = False
+    path = str(tmp_path / "clip.mp4")
+    if not has_cv2:
+        with pytest.raises(RuntimeError, match="no getUserMedia"):
+            ClipSource(path)
+    else:
+        # Build a tiny clip with the toy face, round-trip it through the
+        # codec, and check the source plays and loops.
+        import cv2
+        frames = _clip()[:8]
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (frames.shape[2], frames.shape[1]))
+        for f in frames:
+            wr.write(np.ascontiguousarray(f[..., ::-1]))
+        wr.release()
+        src = ClipSource(path, loop=True)
+        assert src.frames.shape[0] == 8
+        assert src.frames.shape[1:] == frames.shape[1:]
+        for _ in range(10):  # loops past the end
+            assert src.read() is not None
+
+
 def test_ui_message_tables():
     from headtrackr_tpu.runtime.ui import STATUS_MESSAGES, SUPPORT_MESSAGES
     assert set(STATUS_MESSAGES) == {"whitebalance", "detecting", "hints",
                                     "redetecting", "lost", "found"}
     assert set(SUPPORT_MESSAGES) == {"no getUserMedia", "no camera"}
+
+
+def test_ui_auto_fade(monkeypatch):
+    """Reference parity: the overlay clears FADE_SECONDS after the last
+    status message (src/ui.js:61-69).  auto_fade defaults on."""
+    import time
+    from headtrackr_tpu.runtime import ui as ui_mod
+    monkeypatch.setattr(ui_mod, "FADE_SECONDS", 0.05)
+    bus = ht.events.EventBus()
+    u = ui_mod.Ui(bus=bus)
+    assert u.auto_fade  # default matches the reference
+    bus.dispatch_event(ht.events.STATUS, {"status": "found"})
+    assert u.message == "Face found! Move your head!"
+    deadline = time.monotonic() + 2.0
+    while u.message and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert u.message == ""
+    # support messages override and also fade (clearing the override latch)
+    bus.dispatch_event(ht.events.STATUS, {"status": "no camera"})
+    assert u.message == "no camera found :("
+    bus.dispatch_event(ht.events.STATUS, {"status": "found"})
+    assert u.message == "no camera found :("  # override holds until fade
+    deadline = time.monotonic() + 2.0
+    while u._override and time.monotonic() < deadline:
+        time.sleep(0.01)
+    bus.dispatch_event(ht.events.STATUS, {"status": "found"})
+    assert u.message == "Face found! Move your head!"
+    u.close()
 
 
 def test_controllers_pose_math():

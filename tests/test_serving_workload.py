@@ -35,17 +35,29 @@ def _bench():
 
 
 def test_chroma_noise_preserves_grayscale():
-    """Unclipped noisy-face pixels must match the clean face's grayscale to
-    within the lattice drift bound (~2 gray levels at k=20)."""
+    """Noisy-face pixels must stay inside the VJ detection margin in
+    grayscale.  Measured over the FACE RECT only — the background carries no
+    noise, so a full-frame fraction would dilute ~20x and mask a partial
+    regression (advisor r4).  Honest face-rect numbers at k=20: max drift 5
+    gray levels (luma +-6 breaks detection — measured r4), mean ~1.5,
+    drift>4 only on clip-saturated pixels (~2%)."""
     bench = _bench()
     rng = np.random.default_rng(0)
     pool = bench.build_pool(4, 240, 320, 2, 0, rng, face_noise=20)
     clean = bench.build_pool(4, 240, 320, 2, 0,
                              np.random.default_rng(0), face_noise=0)
-    g_noisy = oracle_gray(pool[0, 0])
-    g_clean = oracle_gray(clean[0, 0])
-    frac_off = (np.abs(g_noisy.astype(int) - g_clean.astype(int)) > 2).mean()
-    assert frac_off < 0.02  # only clipped pixels may drift further
+    # Same seed => same position draws; the noised pixels are exactly where
+    # the two frames differ.  Recover the face rect as their bounding box.
+    diff = np.any(pool[0, 0] != clean[0, 0], axis=-1)
+    ys, xs = np.nonzero(diff)
+    assert len(ys) > 500  # the texture touches nearly every face pixel
+    y0, y1, x0, x1 = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+    g_noisy = oracle_gray(pool[0, 0]).astype(int)[y0:y1, x0:x1]
+    g_clean = oracle_gray(clean[0, 0]).astype(int)[y0:y1, x0:x1]
+    drift = np.abs(g_noisy - g_clean)
+    assert drift.max() <= 5          # strictly inside the +-6 break margin
+    assert drift.mean() < 2.0        # lattice bound ~0.15 gray/unit holds
+    assert (drift > 4).mean() < 0.05  # >4 only from clip saturation
 
 
 @pytest.mark.parametrize("k", [0, 20])
