@@ -101,6 +101,25 @@ class TrackerConfig:
                                        # use the reference-exact full-frame
                                        # weights.  Band/serving path only;
                                        # off = reference-exact.
+    bandHistAudit: bool = True         # bandHist's production safety net
+                                       # (PARITY deviation 13): at every
+                                       # VJ->CS handoff, audit ON DEVICE
+                                       # whether any model-colored pixel
+                                       # lies outside the serving band —
+                                       # the content condition under which
+                                       # bandHist becomes approximate.
+                                       # Dirty streams are served by the
+                                       # full-frame escape fallback
+                                       # (reference-exact, bounded cost)
+                                       # until a clean relock, and show up
+                                       # in StepOutput.escaped telemetry.
+                                       # Costs one extra full-frame lookup
+                                       # on handoff ticks only.  Effective
+                                       # only with bandHist on a band path;
+                                       # the periodic cross-check
+                                       # (BatchedTracker.
+                                       # band_hist_divergence) is the
+                                       # complementary runtime monitor.
     histKernel: Optional[str] = None   # "pallas": run the DENSE camshift
                                        # histogram/backprojection pixel scans
                                        # as the Mosaic kernels in

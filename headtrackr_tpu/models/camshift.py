@@ -27,7 +27,8 @@ from ..ops.histogram import (backprojection_weights, histogram_and_pdf,
 
 __all__ = ["CamshiftState", "init_state", "init_tracker", "track",
            "track_band", "mean_shift", "camshift_step", "DEFAULT_BAND",
-           "BAND_SLACK", "band_for", "parse_band"]
+           "BAND_SLACK", "band_for", "parse_band", "band_rect",
+           "handoff_band_audit"]
 
 MEANSHIFT_ITERS = 10  # src/camshift.js:277
 # Trace-time knob: fully unroll the 10-trip mean-shift loop (the body is a
@@ -55,9 +56,18 @@ class CamshiftState(NamedTuple):
     model_bins: object          # (K,) i32 | None
     model_counts: object        # (K,) f32 | None
     model_overflow: object      # bool | None
+    # bandHist handoff audit (TrackerConfig.bandHistAudit; deviation 13's
+    # safety net): True when, AT HANDOFF, some pixel outside the serving
+    # band carried a model-colored bin — the content condition under which
+    # band-local current histograms become approximate.  Dirty streams are
+    # reported escaped every band tick, so the serving fallback keeps them
+    # reference-exact (full-frame) until a clean relock.  None when the
+    # audit is off (empty pytree node — same schema-compat trick as the
+    # sparse trio above).
+    band_dirty: object = None   # bool | None
 
 
-def init_state(sparse_k=0):
+def init_state(sparse_k=0, band_audit=False):
     return CamshiftState(
         model_hist=jnp.zeros((4096,), jnp.float32),
         window=jnp.zeros((4,), jnp.int32),
@@ -68,28 +78,74 @@ def init_state(sparse_k=0):
         model_counts=(jnp.zeros((sparse_k,), jnp.float32)
                       if sparse_k else None),
         model_overflow=jnp.bool_(False) if sparse_k else None,
+        # False pre-handoff: the flag is only read on CS ticks, and the
+        # handoff always overwrites it
+        band_dirty=jnp.bool_(False) if band_audit else None,
     )
 
 
-def init_tracker(frame_rgb, rect, sparse_k=0):
+def band_rect(window, band, frame_shape):
+    """The serving band's frame rect (ry, rx, bh, bw) for a search window —
+    the ONE band-placement rule (8-aligned starts, centered on the clamped
+    window, clipped to the frame) shared by track_band, the handoff audit,
+    and the periodic divergence cross-check."""
+    H, W = frame_shape
+    bh = min(band[0], H)
+    bw = min(band[1], W)
+    cx = jnp.clip(window[0], 0, W) + window[2] // 2
+    cy = jnp.clip(window[1], 0, H) + window[3] // 2
+    rx = jnp.clip((cx - bw // 2) & ~7, 0, W - bw)
+    ry = jnp.clip((cy - bh // 2) & ~7, 0, H - bh)
+    return ry, rx, bh, bw
+
+
+def handoff_band_audit(bins, model_hist, rect, band):
+    """True iff some pixel OUTSIDE the band (placed for the handoff window
+    ``rect``) carries a bin with nonzero model count — the content condition
+    under which bandHist stops being exact (docs/PARITY.md deviation 13:
+    band cur counts then undercount, inflating ratio weights toward 1).
+
+    One full-frame 0/1-weight lookup (pdf_scan of the model-bin indicator —
+    0/1 weights are bf16-exact, so DEFAULT precision is bit-safe) masked to
+    the band's complement.  Runs on the handoff tick only, which already
+    pays the detector."""
+    H, W = bins.shape
+    ry, rx, bh, bw = band_rect(rect, band, (H, W))
+    is_model = pdf_scan(bins, (model_hist > 0).astype(jnp.float32))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    outside = ((rows < ry) | (rows >= ry + bh) |
+               (cols < rx) | (cols >= rx + bw))
+    return jnp.any((is_model > 0.5) & outside)
+
+
+def init_tracker(frame_rgb, rect, sparse_k=0, audit_band=None):
     """VJ -> CS handoff (src/camshift.js:198-211): model histogram of the crop.
 
     rect: (4,) i32 [x, y, w, h] (already floored by the caller,
     src/facetrackr.js:101-106).  sparse_k > 0 additionally derives the
     sparse-model descriptor (top-K bins + overflow flag) consumed by the
-    band path when TrackerConfig.sparseHist is set."""
+    band path when TrackerConfig.sparseHist is set.  audit_band=(bh, bw)
+    additionally runs the bandHist handoff audit (see handoff_band_audit)
+    and stores the per-stream band_dirty flag."""
     bins = rgb_bins(frame_rgb)
     hist = histogram_rect(bins, rect[0], rect[1], rect[2], rect[3])
     if sparse_k:
         sbins, scounts, overflow = sparse_model_topk(hist, sparse_k)
     else:
         sbins = scounts = overflow = None
+    if audit_band is not None:
+        dirty = handoff_band_audit(bins, hist, rect.astype(jnp.int32),
+                                   audit_band)
+    else:
+        dirty = None
     return CamshiftState(
         model_hist=hist, window=rect.astype(jnp.int32),
         track_x=jnp.int32(0), track_y=jnp.int32(0),
         track_w=jnp.int32(0), track_h=jnp.int32(0),
         track_angle=jnp.float32(0.0),
         model_bins=sbins, model_counts=scounts, model_overflow=overflow,
+        band_dirty=dirty,
     )
 
 
@@ -455,18 +511,22 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
     deviation 13.
     """
     H, W = frame_rgb.shape[0], frame_rgb.shape[1]
-    bh = min(band[0], H)
-    bw = min(band[1], W)
-    bins = rgb_bins(frame_rgb)
-
-    # center the band on the clamped search window, 8-aligned (sublane/lane
-    # friendly dynamic_slice starts), clipped to the frame
-    win = state.window
-    cx = jnp.clip(win[0], 0, W) + win[2] // 2
-    cy = jnp.clip(win[1], 0, H) + win[3] // 2
-    rx = jnp.clip((cx - bw // 2) & ~7, 0, W - bw)
-    ry = jnp.clip((cy - bh // 2) & ~7, 0, H - bh)
-    band_bins = jax.lax.dynamic_slice(bins, (ry, rx), (bh, bw))
+    # band placement: 8-aligned starts centered on the clamped search
+    # window, clipped to the frame (the shared band_rect rule)
+    ry, rx, bh, bw = band_rect(state.window, band, (H, W))
+    if band_hist:
+        # With band-local current histograms NOTHING reads full-frame bins,
+        # so slice the FRAME first and bin only the band: at 640x480 the
+        # full-frame rgb_bins pass was ~25x the band's pixel work.
+        # rgb_bins is elementwise, so slice-then-bin == bin-then-slice
+        # bit-for-bit.
+        band_rgb = jax.lax.dynamic_slice(
+            frame_rgb, (ry, rx, jnp.int32(0)), (bh, bw, 3))
+        bins = None
+        band_bins = rgb_bins(band_rgb)
+    else:
+        bins = rgb_bins(frame_rgb)
+        band_bins = jax.lax.dynamic_slice(bins, (ry, rx), (bh, bw))
 
     # current-histogram source: full frame (reference semantics) or the band
     # (bandHist approximation).  A full-frame ``block`` cannot divide the
@@ -503,6 +563,12 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
         pdf_band, state.window, exact, ry, rx, H, W)
     if sparse:
         escaped = escaped | state.model_overflow
+    if band_hist and state.band_dirty is not None:
+        # bandHist handoff audit (deviation 13 safety net): a stream whose
+        # handoff found model-colored pixels outside the band is served by
+        # the full-frame fallback every tick — reference-exact results at
+        # the escape path's bounded cost — until a clean relock clears it.
+        escaped = escaped | state.band_dirty
     new_state = _finish(state, win2, m, zero_mass, calc_angles, H, W)
     return new_state, escaped
 

@@ -104,15 +104,17 @@ class StepOutput(NamedTuple):
     escaped: jnp.ndarray = False
 
 
-def init_state(whitebalancing=True, sparse_k=0):
+def init_state(whitebalancing=True, sparse_k=0, band_audit=False):
     """sparse_k: size of the sparse-model camshift descriptor carried in
     state — MUST equal the step's TrackerConfig.sparseHist (or 0 when unset)
-    so handoff-produced and initial states have matching leaf shapes."""
+    so handoff-produced and initial states have matching leaf shapes.
+    band_audit: carry the bandHist handoff-audit flag (MUST match the step's
+    audit_band presence — same schema rule as sparse_k)."""
     f32 = jnp.float32
     return TrackerState(
         mode=jnp.int32(MODE_WB if whitebalancing else MODE_VJ),
         wb_ring=jnp.zeros((PWB_LENGTH,), f32), wb_n=jnp.int32(0),
-        cs=cs.init_state(sparse_k),
+        cs=cs.init_state(sparse_k, band_audit),
         sm_sp=jnp.zeros((5,), f32), sm_init=jnp.bool_(False),
         face_found=jnp.bool_(False), first_run=jnp.bool_(True),
         diag_ring=jnp.zeros((DIAG_LENGTH,), f32), diag_n=jnp.int32(0),
@@ -138,7 +140,7 @@ def _empty_result():
 
 
 def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
-              with_pdf=False, band=None):
+              with_pdf=False, band=None, audit_band=None):
     """Build the per-frame step fn for a static (cascade, config, H, W).
 
     step(state, frame_rgb_u8) -> (state', StepOutput).  jit/vmap-able.
@@ -163,6 +165,11 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         (state', StepOutput, escaped) where escaped marks streams whose
         results are invalid (window left the band); the serving scheduler
         recomputes those with the full-frame track program.
+    audit_band=(bh, bw): run the bandHist handoff audit at every VJ -> CS
+        handoff (camshift.handoff_band_audit) and carry the per-stream
+        band_dirty flag in state.  Set on the "full" variant whenever the
+        serving band path has bandHist + bandHistAudit on; states produced
+        with it require init_state(band_audit=True) (schema rule).
     """
     if band is not None and (variant not in ("track", "wbtrack") or with_pdf):
         raise ValueError("band requires variant='track'/'wbtrack' "
@@ -198,7 +205,8 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         # VJ -> CS handoff (src/facetrackr.js:97-108)
         switch = conf > CONFIDENCE_THRESHOLD
         rect = jnp.floor(jnp.stack([res.x, res.y, res.w, res.h])).astype(jnp.int32)
-        new_cs = cs.init_tracker(frame, rect, config.sparseHist or 0)
+        new_cs = cs.init_tracker(frame, rect, config.sparseHist or 0,
+                                 audit_band)
         cs_state = jax.tree_util.tree_map(
             lambda a, b: jnp.where(switch, a, b), new_cs, state.cs)
         new_mode = jnp.where(switch, MODE_CS, MODE_VJ).astype(jnp.int32)

@@ -35,7 +35,13 @@ FORMAT_VERSION = 2
 # an old checkpoint resumed into a sparseHist config loses track on the
 # first tick and cleanly redetects, rebuilding the descriptor at handoff).
 _OPTIONAL_PATHS = {"state/pend_age", "state/cs/model_bins",
-                   "state/cs/model_counts", "state/cs/model_overflow"}
+                   "state/cs/model_counts", "state/cs/model_overflow",
+                   "state/cs/band_dirty"}
+# Non-zero defaults for absent optional leaves.  band_dirty defaults DIRTY
+# (true): a pre-audit checkpoint resumed into an audited bandHist config was
+# never content-audited, so its streams are conservatively served by the
+# reference-exact full-frame fallback until their next relock re-audits.
+_OPTIONAL_DEFAULTS = {"state/cs/band_dirty": 1}
 
 
 def _keyed_leaves(state):
@@ -82,8 +88,9 @@ def _load(path, like):
     leaves = []
     for k, tmpl in want:
         if k not in have:  # optional leaf absent in an older checkpoint
-            leaves.append(jnp.zeros(np.shape(tmpl),
-                                    np.asarray(tmpl).dtype))
+            leaves.append(jnp.full(np.shape(tmpl),
+                                   _OPTIONAL_DEFAULTS.get(k, 0),
+                                   np.asarray(tmpl).dtype))
             continue
         v = d[k]
         tshape = tuple(np.shape(tmpl))

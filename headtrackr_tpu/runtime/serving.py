@@ -39,7 +39,22 @@ from ..config import TrackerConfig
 from ..models import camshift as cs_mod
 from ..models import facetracker as ft
 
-__all__ = ["BatchedTracker", "make_batched_steps", "plan_serving"]
+__all__ = ["BatchedTracker", "make_batched_steps", "plan_serving",
+           "resolve_band"]
+
+
+def resolve_band(band, frame_shape):
+    """Normalize a band knob to a concrete value: "auto" -> DEFAULT_BAND;
+    a band covering the whole frame -> None (identical math, skip the cond).
+    The ONE resolution rule shared by make_batched_steps and
+    BatchedTracker (the audit/divergence machinery must see the same band
+    the step programs use)."""
+    if band == "auto":
+        band = cs_mod.DEFAULT_BAND
+    if band is not None and (band[0] >= frame_shape[0]
+                             and band[1] >= frame_shape[1]):
+        band = None
+    return band
 
 
 def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
@@ -85,21 +100,23 @@ def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
       dense in every arm.  So sparse is a special-case knob (uniform
       markers, synthetic blobs), not the webcam-face path.
 
-    Returns a dict: band/bucket/overload/sparse_hist are BatchedTracker
-    kwargs (sparse_hist maps to the ``sparseHist`` config field);
-    scan_len is for warmup(scan_len=...)/run_scan.
+    Returns a dict: band/bucket/overload/sparse_hist/bandHist are
+    BatchedTracker kwargs (sparse_hist maps to the ``sparseHist`` config
+    field); scan_len is for warmup(scan_len=...)/run_scan.
 
-    Not planned here but worth knowing: ``bandHist=True`` (band-local
-    current histograms) is the measured +48% throughput serving mode
-    (73.4k vs 49.6k fps/chip at 256 streams, r4).  It is approximate by
-    design — exact only when handoff models carry no background-colored
-    bins (docs/PARITY.md deviation 13) — so it is a deployment judgement
-    call on your content, not a workload-sizing rule this planner can
-    make for you.
+    - ``bandHist``: planned True (band-local current histograms — the
+      measured +48% throughput serving mode, 73.4k vs 49.6k fps/chip at
+      256 streams, r4) BECAUSE the default handoff audit
+      (TrackerConfig.bandHistAudit) now guards its content condition at
+      runtime: a stream whose handoff model carries out-of-band bins is
+      served by the reference-exact fallback until a clean relock (PARITY
+      deviation 13 safety net), so the mode no longer needs an offline
+      content judgement.  Pair with periodic
+      BatchedTracker.band_hist_divergence sampling in production.
 
     >>> p = plan_serving(256, max_face_px=40)
     >>> bt = BatchedTracker(256, band=p["band"], bucket=p["bucket"],
-    ...                     overload=p["overload"])
+    ...                     overload=p["overload"], bandHist=p["bandHist"])
     """
     win = int(np.ceil(1.3 * max_face_px))
     band = cs_mod.band_for((win, win), frame_shape)
@@ -116,6 +133,7 @@ def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
         "overload": "rotate" if latency_sensitive else "full",
         "scan_len": 1 if latency_sensitive else 16,
         "sparse_hist": sparse,
+        "bandHist": True,
     }
 
 
@@ -159,12 +177,14 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
     collectives in the hot path, and auto/scan run under shard_map with
     per-device scheduling (bucket per device, per-shard escape cond).
     """
-    if band == "auto":
-        band = cs_mod.DEFAULT_BAND
-    if band is not None and (band[0] >= frame_shape[0]
-                             and band[1] >= frame_shape[1]):
-        band = None  # band covers the frame: identical math, skip the cond
-    full1 = ft.make_step(cascade, config, frame_shape, "full")
+    band = resolve_band(band, frame_shape)
+    # bandHist handoff audit (deviation 13 safety net): the full step's
+    # VJ->CS handoff stamps band_dirty; dirty streams escape to the
+    # full-frame fallback every band tick (camshift.track_band)
+    audit_band = (band if (band is not None and config.bandHist
+                           and config.bandHistAudit) else None)
+    full1 = ft.make_step(cascade, config, frame_shape, "full",
+                         audit_band=audit_band)
     full = jax.vmap(full1)
 
     def _scatter_subbatch(tree, sub_tree, idx, safe, valid):
@@ -455,6 +475,10 @@ class BatchedTracker:
         self.frame_shape = frame_shape
         self.cascade = cascade if cascade is not None else frontalface()
         self.mesh = mesh
+        self.band = resolve_band(band, frame_shape)
+        self._band_audit = (self.band is not None and self.config.bandHist
+                            and self.config.bandHistAudit)
+        self._divergence_fn = None
         self.bucket = max(1, min(int(bucket), n_streams))
         if mesh is not None:
             n_dev = mesh.devices.size
@@ -466,11 +490,12 @@ class BatchedTracker:
         (self._step_full, self._step_track, self._step_bucket,
          self._step_auto, self._step_scan) = \
             make_batched_steps(self.cascade, self.config, frame_shape, mesh,
-                               bucket=self.bucket, band=band,
+                               bucket=self.bucket, band=self.band,
                                overload=overload,
                                escape_bucket=escape_bucket)
         state1 = ft.init_state(self.config.whitebalancing,
-                               self.config.sparseHist or 0)
+                               self.config.sparseHist or 0,
+                               band_audit=self._band_audit)
         self.state = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(), state1)
         if mesh is not None:
@@ -513,7 +538,8 @@ class BatchedTracker:
         """Re-initialize EVERY stream (fresh cold start; keeps the compiled
         programs).  The per-stream form is reset_stream."""
         s1 = ft.init_state(self.config.whitebalancing,
-                           self.config.sparseHist or 0)
+                           self.config.sparseHist or 0,
+                           band_audit=self._band_audit)
         state = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (self.n,) + x.shape).copy(), s1)
         if self.mesh is not None:
@@ -529,7 +555,8 @@ class BatchedTracker:
             self._modes = np.array(self._pending_modes)
             self._pending_modes = None
         s1 = ft.init_state(self.config.whitebalancing,
-                           self.config.sparseHist or 0)
+                           self.config.sparseHist or 0,
+                           band_audit=self._band_audit)
         self.state = jax.tree_util.tree_map(
             lambda buf, v: buf.at[i].set(v), self.state, s1)
         self._modes[i] = int(s1.mode)
@@ -588,6 +615,67 @@ class BatchedTracker:
         self.state, out = self._step_scan(self.state, frames_seq)
         self._pending_modes = out.mode_after[-1]
         return out
+
+    def band_hist_divergence(self, frames, stream=0):
+        """Periodic bandHist cross-check (deviation 13 safety net, part b):
+        recompute ONE stream's current histogram both full-frame
+        (reference-exact) and band-local (the serving approximation) at its
+        current search window, and report the weight divergence the band pdf
+        would actually see.
+
+        frames: this tick's (N, H, W, 3) batch (or any representative
+        batch).  Returns a dict:
+          max_inflation     largest (band_weight - full_weight) over bins
+                            PRESENT in the band (0.0 = bit-exact tick)
+          contaminated_bins model bins whose band count undercounts the
+                            full-frame count (the deviation's trigger)
+          model_bins        distinct nonzero model bins (palette size)
+          band_dirty        the stream's handoff-audit flag (None when the
+                            audit is off)
+        Intended use: call every M ticks on a rotating stream sample and
+        alarm on max_inflation > tolerance — the runtime complement to the
+        handoff audit (TrackerConfig.bandHistAudit).  Cost: one small
+        single-stream program + one host pull; NOT for the per-tick hot
+        path."""
+        if self.band is None or not self.config.bandHist:
+            raise ValueError("band_hist_divergence needs an active band "
+                             "path with bandHist=True")
+        if self._divergence_fn is None:
+            band = self.band
+            H, W = self.frame_shape
+
+            @jax.jit
+            def fn(frame, model_hist, window):
+                from ..ops.histogram import (backprojection_weights,
+                                             histogram_scan, rgb_bins)
+                bins = rgb_bins(frame)
+                ry, rx, bh, bw = cs_mod.band_rect(window, band, (H, W))
+                band_bins = jax.lax.dynamic_slice(bins, (ry, rx), (bh, bw))
+                cur_full = histogram_scan(bins)
+                cur_band = histogram_scan(band_bins)
+                w_full = backprojection_weights(model_hist, cur_full)
+                w_band = backprojection_weights(model_hist, cur_band)
+                present = cur_band > 0  # bins the band pdf can read
+                infl = jnp.where(present, w_band - w_full, 0.0)
+                contaminated = ((model_hist > 0) & (cur_band < cur_full)
+                                & present)
+                return (infl.max(), contaminated.sum(),
+                        (model_hist > 0).sum())
+
+            self._divergence_fn = fn
+        frames = jnp.asarray(frames)
+        model = self.state.cs.model_hist[stream]
+        window = self.state.cs.window[stream]
+        mx, nc, nm = self._divergence_fn(frames[stream], model, window)
+        dirty = self.state.cs.band_dirty
+        return {
+            "max_inflation": float(np.asarray(mx)),
+            "contaminated_bins": int(np.asarray(nc)),
+            "model_bins": int(np.asarray(nm)),
+            "band_dirty": (bool(np.asarray(dirty[stream]))
+                           if dirty is not None else None),
+            "stream": int(stream),
+        }
 
     @property
     def modes(self):

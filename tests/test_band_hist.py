@@ -66,7 +66,12 @@ def test_serving_band_hist_keeps_loss_semantics_and_tracks():
 
     outs = {}
     for bh in (False, True):
-        cfg = TrackerConfig(smoothing=False, headPosition=False, bandHist=bh)
+        # bandHistAudit=False: this test pins the RAW deviation (the toy
+        # model carries bg bins, so the default audit would route these
+        # streams to the exact fallback and hide the inflation being
+        # bounded here — the audited behavior is tests/test_band_audit.py)
+        cfg = TrackerConfig(smoothing=False, headPosition=False, bandHist=bh,
+                            bandHistAudit=False)
         _, _, _, _, step_scan = make_batched_steps(
             toy_cascade(), cfg, (H, W), bucket=1, band=BAND, donate=False)
         s1 = ft.init_state(cfg.whitebalancing, 0)

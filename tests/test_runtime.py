@@ -678,6 +678,9 @@ def test_plan_serving_rules():
     assert ht.plan_serving(256, model_bins=90)["sparse_hist"] is None
     assert ht.plan_serving(256, model_bins=200)["sparse_hist"] is None
     assert p["sparse_hist"] is None  # no palette measured -> no sparse
+    # bandHist is planned ON now that the handoff audit guards its content
+    # condition at runtime (r5; PARITY deviation 13 safety net)
+    assert p["bandHist"] is True
 
     # bucket never exceeds the stream count; band never exceeds the frame
     p3 = ht.plan_serving(2, frame_shape=(60, 80), max_face_px=500,

@@ -9,8 +9,16 @@ cheap stand-ins; the deltas are each piece's in-context marginal cost:
   no_hist     histogram_scan -> ones   (weights garbage; shapes identical)
   no_pdf      pdf_scan -> zeros        (mean-shift on zeros)
   no_ms       _mean_shift_core -> passthrough window, zero moments
+  no_planes   _marginal_planes -> zeros (kills the two prefix-sum matmuls;
+                                        the per-iteration machinery remains)
+  no_sel      _select_lines -> zeros   (kills the 40 tiny per-iteration
+                                        selection dots; planes + loop remain)
+  no_m2       _second_moments -> zeros (kills the final masked full-band pass)
   no_bins     rgb_bins -> zeros        (kills the bins compute AND most
                                         downstream value ranges)
+
+r5: defaults match the SERVING configuration (band 96x128, bandHist on —
+the r4 bench default); --no-band-hist / --band reproduce the older arms.
 
 Run on the chip: python tools/exp_step_split.py --streams 256
 """
@@ -29,6 +37,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--band", type=str, default="96x128",
+                    help="'HxW', 'auto' (DEFAULT_BAND) — the bench serves "
+                         "96x128")
+    ap.add_argument("--band-hist", action=argparse.BooleanOptionalAction,
+                    default=True, help="bandHist serving mode (r4+ default)")
+    ap.add_argument("--size", type=str, default="320x240",
+                    help="frame WxH")
+    ap.add_argument("--pieces", type=str, default=None,
+                    help="comma list to run (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -40,11 +57,15 @@ def main():
     from headtrackr_tpu.cascade import frontalface
     from headtrackr_tpu.config import TrackerConfig
 
+    ht.enable_compilation_cache()
     N, n = args.streams, args.iters
-    H, W = 240, 320
+    W, H = (int(v) for v in args.size.split("x"))
+    band = cs.parse_band(args.band)
+    if band == "auto":
+        band = cs.DEFAULT_BAND
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 256, (N, H, W, 3), dtype=np.uint8))
-    cfg = TrackerConfig(ui=False)
+    cfg = TrackerConfig(ui=False, bandHist=args.band_hist)
     casc = frontalface()
     state1 = ft.init_state(True)
     state = jax.tree_util.tree_map(
@@ -55,7 +76,9 @@ def main():
                            mode=jnp.full((N,), ft.MODE_CS, jnp.int32))
 
     real = dict(hist=cs.histogram_scan, pdf=cs.pdf_scan,
-                ms=cs._mean_shift_core, bins=cs.rgb_bins)
+                ms=cs._mean_shift_core, bins=cs.rgb_bins,
+                planes=cs._marginal_planes, sel=cs._select_lines,
+                m2=cs._second_moments)
 
     def stub(name):
         if name == "no_hist":
@@ -72,6 +95,21 @@ def main():
                            mu20=z, mu02=z, mu11=z)
                 return window, mom, jnp.bool_(True), jnp.bool_(False)
             cs._mean_shift_core = fake_ms
+        elif name == "no_planes":
+            def fake_planes(pdf, exact=False):
+                Hb, Wb = pdf.shape
+                return (jnp.zeros((Hb + 1, Wb), jnp.float32),
+                        jnp.zeros((Hb, Wb + 1), jnp.float32))
+            cs._marginal_planes = fake_planes
+        elif name == "no_sel":
+            def fake_sel(plane, i0, i1, axis, exact=False):
+                m = plane.shape[1 - axis]
+                z = jnp.zeros((m,), jnp.float32)
+                return z, z
+            cs._select_lines = fake_sel
+        elif name == "no_m2":
+            cs._second_moments = lambda pdf, *a: (
+                jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
         elif name == "no_bins":
             cs.rgb_bins = lambda f: jnp.zeros(f.shape[:-1], jnp.int32)
 
@@ -80,12 +118,18 @@ def main():
         cs.pdf_scan = real["pdf"]
         cs._mean_shift_core = real["ms"]
         cs.rgb_bins = real["bins"]
+        cs._marginal_planes = real["planes"]
+        cs._select_lines = real["sel"]
+        cs._second_moments = real["m2"]
 
-    for name in ("full", "no_hist", "no_pdf", "no_ms", "no_bins"):
+    pieces = (args.pieces.split(",") if args.pieces else
+              ["full", "no_hist", "no_pdf", "no_ms", "no_planes", "no_sel",
+               "no_m2", "no_bins"])
+    results = {}
+    for name in pieces:
         restore()
         stub(name)
-        step1 = ft.make_step(casc, cfg, (H, W), "track",
-                             band=cs.DEFAULT_BAND)
+        step1 = ft.make_step(casc, cfg, (H, W), "track", band=band)
         vstep = jax.vmap(step1)
 
         @jax.jit
@@ -101,8 +145,14 @@ def main():
         st = scan_fn(jax.tree_util.tree_map(jnp.copy, state), frames)
         np.asarray(st.mode)
         dt = time.time() - t0
-        print(f"{name:10s} {1000 * dt / n:.3f} ms/tick")
+        results[name] = 1000 * dt / n
+        print(f"{name:10s} {1000 * dt / n:.3f} ms/tick", flush=True)
     restore()
+    if "full" in results:
+        print("\nmarginal costs (full - stubbed):")
+        for k, v in results.items():
+            if k != "full":
+                print(f"  {k:10s} {results['full'] - v:+.3f} ms/tick")
 
 
 if __name__ == "__main__":
