@@ -36,6 +36,17 @@ MEANSHIFT_ITERS = 10  # src/camshift.js:277
 # loop overhead and lets XLA fuse across iterations).  A/B on the chip with
 # tools/exp_unroll_ab.py; identical numerics either way.
 MEANSHIFT_UNROLL = False
+# Trace-time A/B knob (tools/exp_step_split.py --bins-arm): with bandHist
+# nothing reads full-frame bins, so slicing the FRAME before binning looked
+# like the obvious 640x480 lever (VERDICT r4 item 3).  MEASURED THE OTHER
+# WAY on chip (r5): slice-first is 31.4 ms/tick vs bin-first 2.9 ms/tick at
+# 256 streams / 320x240 — the vmapped dynamic_slice of the (bh, bw, 3) u8
+# frame hits the trailing-3 lane-padding + gather trap, while in the
+# bin-first form XLA fuses the (bh, bw) i32 slice into the elementwise
+# producer and only ever computes the band's bins (verified by the 640x480
+# scaling run).  Identical results bit-for-bit either way (rgb_bins is
+# elementwise); keep False.
+BANDHIST_SLICE_FIRST = False
 
 
 class CamshiftState(NamedTuple):
@@ -514,7 +525,7 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
     # band placement: 8-aligned starts centered on the clamped search
     # window, clipped to the frame (the shared band_rect rule)
     ry, rx, bh, bw = band_rect(state.window, band, (H, W))
-    if band_hist:
+    if band_hist and BANDHIST_SLICE_FIRST:
         # With band-local current histograms NOTHING reads full-frame bins,
         # so slice the FRAME first and bin only the band: at 640x480 the
         # full-frame rgb_bins pass was ~25x the band's pixel work.
@@ -524,6 +535,13 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
             frame_rgb, (ry, rx, jnp.int32(0)), (bh, bw, 3))
         bins = None
         band_bins = rgb_bins(band_rgb)
+    elif band_hist:
+        # r4 formulation (the A/B baseline): bin the full frame, slice the
+        # result — correctness-identical; exists to measure whether XLA
+        # dead-codes the unused full-frame pass
+        bins = None
+        band_bins = jax.lax.dynamic_slice(rgb_bins(frame_rgb), (ry, rx),
+                                          (bh, bw))
     else:
         bins = rgb_bins(frame_rgb)
         band_bins = jax.lax.dynamic_slice(bins, (ry, rx), (bh, bw))

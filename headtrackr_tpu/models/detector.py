@@ -46,6 +46,14 @@ __all__ = ["detector_tables", "DetectorTables", "detect_candidates",
 # [B, S) on second compaction.
 CHUNK_A_END = 2
 CHUNK_B_END = 6
+# Tile-eviction ranking under overcapacity (PARITY deviation 5):
+# "confmass" = sum of alive windows' last-evaluated stage sums, "count" =
+# alive-window count (the r1-r4 rule).  Crowd fixture at the serving
+# capacity (26 tiles, tests/test_clutter.py): count evicted ALL 22 true
+# candidates; confmass keeps faces once the dense chunk is deep enough to
+# make stage scores discriminative.  Irrelevant when k_tiles >= surviving
+# tiles (every surviving tile is selected either way).
+TILE_RANK = "confmass"
 
 # Deep stages are compacted at TILE granularity: a tile is a TY x TX block of
 # the window grid.  Tiles keep the plane reads aligned and few (batched
@@ -595,15 +603,26 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
                                       tables.ntxmax, 0.0)
         k_tiles = int(np.clip(-(-k1 // TILE_WINDOWS), 8, 512))
         k_tiles = min(k_tiles, tables.n_tiles)
-        # Rank tiles by surviving-window count (a real face densely activates
-        # its tiles; stage-0/1 noise survivors are sparse) with ascending-index
-        # tie-break; selecting by index alone drops face tiles at later scales
-        # once noise tiles exhaust the capacity.
+        # Rank tiles by surviving CONFIDENCE MASS (sum of the last-evaluated
+        # stage sums of alive windows): under crowd pressure the plain
+        # survivor-count rank prefers large-scale tiles where many windows
+        # barely pass stages 0-1 over the tiles holding true faces — on the
+        # r5 crowd fixture count-ranking at the serving capacity (26 tiles)
+        # evicted ALL 22 true candidates, while confidence-mass keeps them
+        # (tests/test_clutter.py).  Ties (incl. all-dead tiles at -inf)
+        # resolve ascending-index — top_k is stable — matching the JS seq's
+        # enumeration order.  When k_tiles >= surviving-tile count the rank
+        # is irrelevant: every surviving tile is selected (set parity).
         tcount = talive.sum(axis=1).astype(jnp.int32)          # (T_all,) <= 160
-        T_all = tables.n_tiles
-        tie = jax.lax.broadcasted_iota(jnp.int32, (T_all, 1), 0).reshape(-1)
-        tile_rank = tcount * (T_all + 1) + (T_all - tie)
-        _, tidx = jax.lax.top_k(tile_rank, k_tiles)
+        if TILE_RANK == "confmass":
+            confmass = jnp.where(talive, tconf, 0.0).sum(axis=1)
+            tile_rank = jnp.where(tcount > 0, confmass, -jnp.inf)
+            _, tidx = jax.lax.top_k(tile_rank, k_tiles)
+        else:  # "count" (the r1-r4 rule; kept as an A/B knob)
+            T_all = tables.n_tiles
+            tie = jax.lax.broadcasted_iota(jnp.int32, (T_all, 1), 0).reshape(-1)
+            tile_rank = tcount * (T_all + 1) + (T_all - tie)
+            _, tidx = jax.lax.top_k(tile_rank, k_tiles)
         counts = tcount[tidx]
         tvalid = counts > 0
         # survivors dropped by tile-capacity eviction (PARITY.md deviation 5)

@@ -46,6 +46,19 @@ def main():
                     help="frame WxH")
     ap.add_argument("--pieces", type=str, default=None,
                     help="comma list to run (default: all)")
+    ap.add_argument("--unroll", action="store_true",
+                    help="camshift.MEANSHIFT_UNROLL=True for this run")
+    ap.add_argument("--bins-arm", type=str, default="bin-first",
+                    choices=["slice-first", "bin-first"],
+                    help="bandHist bins formulation A/B "
+                         "(camshift.BANDHIST_SLICE_FIRST): bin the full "
+                         "frame then slice (the module default — XLA fuses "
+                         "the slice into the producer) vs slice the (h,w,3) "
+                         "u8 frame first then bin (MEASURED 10.8x SLOWER on "
+                         "chip, r5: the batched trailing-3 dynamic_slice is "
+                         "a layout/gather trap).  Identical results either "
+                         "way.  Default matches the module so un-flagged "
+                         "runs measure the serving configuration.")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +71,9 @@ def main():
     from headtrackr_tpu.config import TrackerConfig
 
     ht.enable_compilation_cache()
+    cs.BANDHIST_SLICE_FIRST = args.bins_arm == "slice-first"
+    if args.unroll:
+        cs.MEANSHIFT_UNROLL = True
     N, n = args.streams, args.iters
     W, H = (int(v) for v in args.size.split("x"))
     band = cs.parse_band(args.band)

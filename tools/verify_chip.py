@@ -97,6 +97,120 @@ def build_clip_hard(n_track, kind):
     return clip
 
 
+def build_crowd(rows=3, cols=5, size=(240, 320)):
+    """Adversarial-clutter fixture (VERDICT r5 item 6): a grid of synthface
+    instances plus one 48 px upsample — every face is a genuine cascade
+    preimage, so stage-1/2 survivors are DENSE across tiles and scales (the
+    case the bench pool never stresses; overflow telemetry reads 0 there).
+    Keep in sync with tests/test_clutter.py (the CPU arm of this gate)."""
+    import headtrackr_tpu  # noqa: F401
+    face = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "headtrackr_tpu", "data",
+                                "synthface.npz"))["rgb"]
+    h, w = size
+    f = np.full((h, w, 3), _BG, np.uint8)
+    ys = np.linspace(8, h - 40, rows).astype(int) & ~1
+    xs = np.linspace(8, w - 40, cols).astype(int) & ~1
+    for y in ys:
+        for x in xs:
+            f[y:y + 24, x:x + 24] = face
+    if h >= 160 and w >= 200:
+        face2 = np.repeat(np.repeat(face, 2, 0), 2, 1)
+        f[h - 80:h - 32, w - 88:w - 40] = face2
+    return f
+
+
+def run_clutter_gate(size):
+    """Candidate-SET parity vs the oracle under near-capacity tiles, and
+    sane eviction past capacity (docs/PARITY.md deviation 5), ON CHIP.
+
+    Three arms on the crowd frame:
+      generous   k_tiles=512 i.e. k1=81920 (vs ~209 surviving tiles on
+                 this fixture) -> overflow MUST be 0 and the candidate set
+                 must match the oracle exactly (rounded to 1e-2 px /
+                 5e-3 conf — the chip's bf16-exact integer paths keep
+                 these tight).
+      near-cap   k_tiles=256 (~1.2x the surviving-tile count) -> same
+                 exact parity under real top_k pressure.
+      serving    the BatchedTracker serving capacities (4096/128/64) ->
+                 overflow MUST be > 0 (the crowd over-subscribes), every
+                 reported candidate must be a true oracle survivor, and
+                 detect_best must still find a face (the confidence-mass
+                 tile ranking keeps face tiles; detector.TILE_RANK, r5 —
+                 the r1-r4 count rank kept NONE here).
+      starved    k1=640 (4 tiles, the capacity floor) -> overflow MUST be
+                 > 0 and eviction must DROP, never fabricate (subset of
+                 oracle survivors; the set may legally be empty at this
+                 floor — overflow telemetry is how callers detect it).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import headtrackr_tpu as ht
+    from headtrackr_tpu.models import detector as jd
+    from headtrackr_tpu.oracle import detector as od
+    from headtrackr_tpu.oracle.imageproc import grayscale as ogray
+
+    ht.enable_compilation_cache(
+        os.environ.get("HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
+    frame = build_crowd(size=size)
+    gray = np.asarray(ogray(frame), np.uint8)
+    print(f"--- clutter gate ({size[1]}x{size[0]} crowd frame)")
+    seq_o = od.dense_scores(gray, ht.cascade())
+    bo = sorted((round(s["x"], 3), round(s["y"], 3), round(s["width"], 3),
+                 round(s["confidence"], 3)) for s in seq_o)
+    print(f"#   oracle: {len(bo)} raw survivors", file=sys.stderr)
+
+    def close(a, b):
+        return (abs(a[0] - b[0]) < 1e-2 and abs(a[1] - b[1]) < 1e-2
+                and abs(a[2] - b[2]) < 1e-2 and abs(a[3] - b[3]) < 5e-3)
+
+    def device_set(k1, k2, k_cand):
+        t0 = time.time()
+        cand = jax.jit(lambda x: jd.detect_candidates(
+            x, ht.cascade(), k1=k1, k2=k2, k_cand=k_cand))(jnp.asarray(gray))
+        cand = jax.tree_util.tree_map(np.asarray, cand)
+        print(f"#   device k1={k1}: {time.time() - t0:.0f}s incl. compile",
+              file=sys.stderr)
+        v = cand["valid"]
+        bj = sorted((round(float(cand["x"][i]), 3),
+                     round(float(cand["y"][i]), 3),
+                     round(float(cand["width"][i]), 3),
+                     round(float(cand["confidence"][i]), 3))
+                    for i in np.nonzero(v)[0])
+        return bj, int(cand["overflow"])
+
+    ok = True
+    for label, k1 in (("generous", 81920), ("near-cap", 40960)):
+        bj, ovf = device_set(k1, 2048, 1024)
+        parity = (ovf == 0 and len(bj) == len(bo)
+                  and all(close(a, b) for a, b in zip(bj, bo)))
+        ok &= parity
+        print(f"clutter {label} (k1={k1}): {len(bj)}/{len(bo)} candidates, "
+              f"overflow {ovf} | SET parity: "
+              f"{'exact' if parity else 'FAIL'}")
+
+    bj, ovf = device_set(4096, 128, 64)
+    subset_s = all(any(close(a, b) for b in bo) for a in bj)
+    found, _, _, _, _, conf = jax.jit(lambda a: jd.detect_best(
+        a, ht.cascade(), k1=4096, k2=128, k_cand=64))(jnp.asarray(gray))
+    serving_ok = ovf > 0 and len(bj) > 0 and subset_s and bool(found)
+    ok &= serving_ok
+    print(f"clutter serving caps (4096/128/64): {len(bj)} candidates, "
+          f"overflow {ovf} | all true survivors: {subset_s} | detect_best "
+          f"found: {bool(found)} (conf {float(conf):.2f})")
+
+    bj, ovf = device_set(640, 512, 256)
+    subset = all(any(close(a, b) for b in bo) for a in bj)
+    starved_ok = ovf > 0 and len(bj) < len(bo) and subset
+    ok &= starved_ok
+    print(f"clutter starved floor (k1=640): {len(bj)} candidates, overflow "
+          f"{ovf} | drops-never-fabricates: {subset}")
+    print(f"clutter gate (near-capacity SET parity + sane eviction past "
+          f"capacity): {'PASS' if ok else 'FAIL'}")
+    return bool(ok)
+
+
 def iou(a, b):
     """a, b: (cx, cy, w, h) center boxes."""
     ax0, ay0 = a[0] - a[2] / 2, a[1] - a[3] / 2
@@ -326,10 +440,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--clips", type=str, default="default",
-                    choices=["default", "hard", "all"],
+                    choices=["default", "hard", "clutter", "all"],
                     help="'hard' adds lighting-ramp and occlusion->redetect "
-                         "arms (real cascade, tolerant comparator); 'all' "
-                         "runs both suites")
+                         "arms (real cascade, tolerant comparator); "
+                         "'clutter' runs the adversarial-clutter detector "
+                         "gate (crowd frame, near-capacity SET parity + "
+                         "eviction sanity); 'all' runs every suite")
     ap.add_argument("--band", type=str, default="auto",
                     help="serving band to gate: 'auto' "
                          "(models/camshift.DEFAULT_BAND), 'none', or HxW — "
@@ -360,6 +476,11 @@ def main():
 
     import jax
     print(f"# backend: {jax.devices()}", file=sys.stderr)
+
+    if args.clips in ("clutter", "all"):
+        clutter_ok = run_clutter_gate(size)
+        if args.clips == "clutter":
+            return 0 if clutter_ok else 1
 
     if args.clips in ("hard", "all"):
         hard_ok = run_hard_clips(args.frames, band)
@@ -414,7 +535,7 @@ def main():
           f">= 0.99, multi-stream bucket relock stable): "
           f"{'PASS' if ok else 'FAIL'}")
     if args.clips == "all":
-        ok = ok and hard_ok
+        ok = ok and hard_ok and clutter_ok
     return 0 if ok else 1
 
 
