@@ -47,13 +47,19 @@ __all__ = ["detector_tables", "DetectorTables", "detect_candidates",
 CHUNK_A_END = 2
 CHUNK_B_END = 6
 # Tile-eviction ranking under overcapacity (PARITY deviation 5):
-# "confmass" = sum of alive windows' last-evaluated stage sums, "count" =
-# alive-window count (the r1-r4 rule).  Crowd fixture at the serving
-# capacity (26 tiles, tests/test_clutter.py): count evicted ALL 22 true
-# candidates; confmass keeps faces once the dense chunk is deep enough to
-# make stage scores discriminative.  Irrelevant when k_tiles >= surviving
-# tiles (every surviving tile is selected either way).
-TILE_RANK = "confmass"
+# "maxconf" = MAX over alive windows of the last-evaluated stage sum,
+# "confmass" = SUM of alive windows' stage sums, "count" = alive-window
+# count (the r1-r4 rule).  Measured at the serving capacity (26 tiles,
+# CHUNK_A_END=2) on the two adversarial fixtures (tests/test_clutter.py,
+# tests/test_real_cascade_e2e.py): maxconf keeps 22/22 true tiles on the
+# 16-face crowd AND 4/4 on the flat-background multiface frame; count
+# keeps 0/22 + 4/4; confmass keeps 1/22 + 0/4.  confmass inverts the
+# intent because alive windows carry NEGATIVE stage sums (they pass
+# negative thresholds), so many-barely-alive tiles outrank few-strong
+# ones; the strongest-single-window statistic is the discriminative one.
+# Irrelevant whenever k_tiles >= surviving tiles (every surviving tile
+# is selected under any rule).
+TILE_RANK = "maxconf"
 
 # Deep stages are compacted at TILE granularity: a tile is a TY x TX block of
 # the window grid.  Tiles keep the plane reads aligned and few (batched
@@ -603,18 +609,22 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
                                       tables.ntxmax, 0.0)
         k_tiles = int(np.clip(-(-k1 // TILE_WINDOWS), 8, 512))
         k_tiles = min(k_tiles, tables.n_tiles)
-        # Rank tiles by surviving CONFIDENCE MASS (sum of the last-evaluated
-        # stage sums of alive windows): under crowd pressure the plain
-        # survivor-count rank prefers large-scale tiles where many windows
-        # barely pass stages 0-1 over the tiles holding true faces — on the
-        # r5 crowd fixture count-ranking at the serving capacity (26 tiles)
-        # evicted ALL 22 true candidates, while confidence-mass keeps them
-        # (tests/test_clutter.py).  Ties (incl. all-dead tiles at -inf)
-        # resolve ascending-index — top_k is stable — matching the JS seq's
-        # enumeration order.  When k_tiles >= surviving-tile count the rank
-        # is irrelevant: every surviving tile is selected (set parity).
+        # Rank tiles by their STRONGEST alive window's last-evaluated stage
+        # sum (see the TILE_RANK comment above for the measured three-way
+        # comparison): under eviction pressure the survivor-count rank
+        # prefers tiles where many windows barely pass stages 0-1 over the
+        # tiles holding true faces, and the sum-of-conf rank inverts (alive
+        # stage sums are negative), while the max statistic keeps every
+        # true-face tile on both adversarial fixtures.  Ties (incl.
+        # all-dead tiles at -inf) resolve ascending-index — top_k is
+        # stable — matching the JS seq's enumeration order.  When
+        # k_tiles >= surviving-tile count the rank is irrelevant: every
+        # surviving tile is selected (set parity).
         tcount = talive.sum(axis=1).astype(jnp.int32)          # (T_all,) <= 160
-        if TILE_RANK == "confmass":
+        if TILE_RANK == "maxconf":
+            tile_rank = jnp.where(talive, tconf, -jnp.inf).max(axis=1)
+            _, tidx = jax.lax.top_k(tile_rank, k_tiles)
+        elif TILE_RANK == "confmass":
             confmass = jnp.where(talive, tconf, 0.0).sum(axis=1)
             tile_rank = jnp.where(tcount > 0, confmass, -jnp.inf)
             _, tidx = jax.lax.top_k(tile_rank, k_tiles)

@@ -19,6 +19,18 @@ import numpy as np
 __all__ = ["grayscale", "whitebalance", "resize_bilinear", "build_pyramid",
            "PyramidSpec", "pyramid_spec"]
 
+# How resize_bilinear fetches the 4 neighbor grids (A/B knob,
+# tools/exp_detect_split.py --pyr-gather):
+#   "onehot"  two constant one-hot matmuls on the MXU — (2dh, sh) @ src @
+#             (sw, 2dw).  BIT-EXACT vs the take form: a one-hot row selects
+#             exactly one u8 value (integers <= 255 are bf16-exact, single
+#             product, f32 accumulator), and the f32 lerp chain downstream
+#             is untouched.  Motivation: under vmap the batched take
+#             lowers to gathers; the detect-tick split (r5) priced the
+#             pyramid at ~34 of 82 ms/tick at 256 streams.
+#   "take"    jnp.take with constant indices (the r1-r4 form).
+PYRAMID_GATHER = "onehot"
+
 
 def grayscale(rgb):
     """(..., H, W, 3) u8 -> (..., H, W) u8.  Spec: (30 r + 59 g + 11 b + 50) // 100."""
@@ -60,13 +72,34 @@ def resize_bilinear(src, sx, sy, sw, sh, dw, dh, out_w, out_h):
     fy = (ys - y0.astype(np.float32)).astype(np.float32)
 
     s = src.astype(jnp.float32)
-    # Static gathers along rows/cols (take with constant indices -> cheap on TPU).
-    rows0 = jnp.take(s, y0, axis=0)
-    rows1 = jnp.take(s, y1, axis=0)
-    top = (jnp.take(rows0, x0, axis=1) * (1 - fx)[None, :]
-           + jnp.take(rows0, x1, axis=1) * fx[None, :])
-    bot = (jnp.take(rows1, x0, axis=1) * (1 - fx)[None, :]
-           + jnp.take(rows1, x1, axis=1) * fx[None, :])
+    if PYRAMID_GATHER == "onehot":
+        # Constant one-hot selection matmuls (see PYRAMID_GATHER): grid
+        # holds the four neighbor planes [y0x0 y0x1; y1x0 y1x1].  Exact:
+        # each output element is ONE u8 value (<= 255, bf16-exact) times
+        # 1.0 into an f32 accumulator.
+        sh_, sw_ = src.shape
+        sel_y = np.zeros((2 * dh, sh_), np.float32)
+        sel_y[np.arange(dh), y0] = 1.0
+        sel_y[dh + np.arange(dh), y1] = 1.0
+        sel_x = np.zeros((sw_, 2 * dw), np.float32)
+        sel_x[x0, np.arange(dw)] = 1.0
+        sel_x[x1, dw + np.arange(dw)] = 1.0
+        rows = jnp.dot(jnp.asarray(sel_y), s,
+                       preferred_element_type=jnp.float32)   # (2dh, sw)
+        grid = jnp.dot(rows, jnp.asarray(sel_x),
+                       preferred_element_type=jnp.float32)   # (2dh, 2dw)
+        top = (grid[:dh, :dw] * (1 - fx)[None, :]
+               + grid[:dh, dw:] * fx[None, :])
+        bot = (grid[dh:, :dw] * (1 - fx)[None, :]
+               + grid[dh:, dw:] * fx[None, :])
+    else:
+        # Static gathers along rows/cols (take with constant indices).
+        rows0 = jnp.take(s, y0, axis=0)
+        rows1 = jnp.take(s, y1, axis=0)
+        top = (jnp.take(rows0, x0, axis=1) * (1 - fx)[None, :]
+               + jnp.take(rows0, x1, axis=1) * fx[None, :])
+        bot = (jnp.take(rows1, x0, axis=1) * (1 - fx)[None, :]
+               + jnp.take(rows1, x1, axis=1) * fx[None, :])
     val = top * (1 - fy)[:, None] + bot * fy[:, None]
     out = jnp.rint(jnp.clip(val, 0, 255)).astype(jnp.uint8)
     if out_w != dw or out_h != dh:

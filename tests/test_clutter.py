@@ -14,7 +14,7 @@ scales:
   * past capacity (tiny k1 -> tile eviction, overflow > 0): sane behavior
     per docs/PARITY.md deviation 5 — every reported candidate is still a
     true oracle survivor (eviction drops, never fabricates), and the
-    confidence-mass tile ranking (detector.TILE_RANK, r5) keeps whole
+    max-confidence tile ranking (detector.TILE_RANK, r5) keeps whole
     faces, so detection still succeeds.
 
 tools/verify_chip.py --clips clutter runs the same fixture on the real
@@ -104,8 +104,8 @@ def test_crowd_eviction_is_sane_past_capacity():
     telemetry fires and eviction DROPS, never fabricates.  At this floor
     the ranking may legally drop every candidate (stage-0/1 scores are
     weakly discriminative; measured r5: count-rank and confmass-rank both
-    keep 0/22 at 4 tiles with CHUNK_A_END=2) — the overflow telemetry is
-    exactly how a caller detects that."""
+    keep 0/22 at 4 tiles with CHUNK_A_END=2; maxconf-rank may keep a few)
+    — the overflow telemetry is exactly how a caller detects that."""
     frame = build_crowd()
     gray = np.asarray(ogray(frame), np.uint8)
     seq_o = od.dense_scores(gray, ht.cascade())
@@ -125,11 +125,12 @@ def test_crowd_eviction_is_sane_past_capacity():
 def test_crowd_detection_survives_serving_capacity():
     """At the SERVING capacities (k1=4096/k2=128/k_cand=64 — what
     BatchedTracker runs every redetect tick), the crowd must still yield a
-    detection: the confidence-mass tile ranking (detector.TILE_RANK, r5)
-    keeps face tiles under eviction pressure, where the r1-r4
-    survivor-count rank kept NONE (measured r5: count-rank evicted all 22
-    true candidates at 26 tiles).  Every reported candidate must still be
-    a true oracle survivor."""
+    detection: the max-confidence tile ranking (detector.TILE_RANK, r5)
+    keeps all 22 true-face tiles under eviction pressure, where the
+    r1-r4 survivor-count rank kept NONE and the sum-of-confidence rank
+    kept 1 (alive stage sums are negative, so summing inverts the
+    intent).  Every reported candidate must still be a true oracle
+    survivor."""
     frame = build_crowd()
     gray = np.asarray(ogray(frame), np.uint8)
     seq_o = od.dense_scores(gray, ht.cascade())

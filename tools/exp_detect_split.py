@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--iters", type=int, default=8,
                     help="scan length (detect ticks are ~50x track ticks)")
+    ap.add_argument("--reps", type=int, default=4,
+                    help="timed scan dispatches per piece; MIN is reported "
+                         "(single-rep readings swing ~70% run-to-run on the "
+                         "shared chip — r5 lesson)")
     ap.add_argument("--size", type=str, default="320x240", help="frame WxH")
     ap.add_argument("--pieces", type=str, default=None,
                     help="comma list to run (default: all)")
@@ -56,6 +60,12 @@ def main():
     ap.add_argument("--k1", type=int, default=None)
     ap.add_argument("--k2", type=int, default=None)
     ap.add_argument("--k-cand", type=int, default=None)
+    ap.add_argument("--pyr-gather", type=str, default=None,
+                    choices=["onehot", "take"],
+                    help="resize_bilinear neighbor fetch "
+                         "(imageproc.PYRAMID_GATHER): constant one-hot MXU "
+                         "matmuls vs jnp.take gathers — bit-identical "
+                         "outputs")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +82,9 @@ def main():
     ht.enable_compilation_cache()
     N, n = args.streams, args.iters
     W, H = (int(v) for v in args.size.split("x"))
+    if args.pyr_gather is not None:
+        from headtrackr_tpu.ops import imageproc
+        imageproc.PYRAMID_GATHER = args.pyr_gather
 
     # ---- knob overrides (module constants; tables cache depends on tile) --
     if args.chunk_a is not None:
@@ -222,12 +235,14 @@ def main():
             return s
         st = scan_fn(jax.tree_util.tree_map(jnp.copy, state), frames)
         np.asarray(st.mode)
-        t0 = time.time()
-        st = scan_fn(jax.tree_util.tree_map(jnp.copy, state), frames)
-        np.asarray(st.mode)
-        dt = time.time() - t0
-        results[name] = 1000 * dt / n
-        print(f"{name:11s} {1000 * dt / n:.3f} ms/tick", flush=True)
+        best = np.inf
+        for _ in range(max(1, args.reps)):
+            t0 = time.time()
+            st = scan_fn(jax.tree_util.tree_map(jnp.copy, state), frames)
+            np.asarray(st.mode)
+            best = min(best, time.time() - t0)
+        results[name] = 1000 * best / n
+        print(f"{name:11s} {1000 * best / n:.3f} ms/tick", flush=True)
     restore()
     if "full" in results:
         fps = args.streams / (results["full"] / 1000.0)

@@ -37,6 +37,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--reps", type=int, default=4,
+                    help="timed scan dispatches per piece; MIN is reported "
+                         "(single-rep readings swing ~70% run-to-run on the "
+                         "shared chip — r5 lesson)")
     ap.add_argument("--band", type=str, default="96x128",
                     help="'HxW', 'auto' (DEFAULT_BAND) — the bench serves "
                          "96x128")
@@ -157,12 +161,14 @@ def main():
             return s
         st = scan_fn(jax.tree_util.tree_map(jnp.copy, state), frames)
         np.asarray(st.mode)
-        t0 = time.time()
-        st = scan_fn(jax.tree_util.tree_map(jnp.copy, state), frames)
-        np.asarray(st.mode)
-        dt = time.time() - t0
-        results[name] = 1000 * dt / n
-        print(f"{name:10s} {1000 * dt / n:.3f} ms/tick", flush=True)
+        best = np.inf
+        for _ in range(max(1, args.reps)):
+            t0 = time.time()
+            st = scan_fn(jax.tree_util.tree_map(jnp.copy, state), frames)
+            np.asarray(st.mode)
+            best = min(best, time.time() - t0)
+        results[name] = 1000 * best / n
+        print(f"{name:10s} {1000 * best / n:.3f} ms/tick", flush=True)
     restore()
     if "full" in results:
         print("\nmarginal costs (full - stubbed):")

@@ -135,7 +135,7 @@ def run_clutter_gate(size):
       serving    the BatchedTracker serving capacities (4096/128/64) ->
                  overflow MUST be > 0 (the crowd over-subscribes), every
                  reported candidate must be a true oracle survivor, and
-                 detect_best must still find a face (the confidence-mass
+                 detect_best must still find a face (the max-confidence
                  tile ranking keeps face tiles; detector.TILE_RANK, r5 —
                  the r1-r4 count rank kept NONE here).
       starved    k1=640 (4 tiles, the capacity floor) -> overflow MUST be
