@@ -40,7 +40,7 @@ from ..models import camshift as cs_mod
 from ..models import facetracker as ft
 
 __all__ = ["BatchedTracker", "make_batched_steps", "plan_serving",
-           "resolve_band"]
+           "resolve_band", "wants_band_audit"]
 
 
 def resolve_band(band, frame_shape):
@@ -55,6 +55,18 @@ def resolve_band(band, frame_shape):
                              and band[1] >= frame_shape[1]):
         band = None
     return band
+
+
+def wants_band_audit(config, band):
+    """True iff step programs built from this (config, resolved band) carry
+    the bandHist handoff-audit flag — the ONE schema rule shared by
+    make_batched_steps, BatchedTracker, and EXTERNAL state builders: any
+    state fed to those steps must be created with
+    ``ft.init_state(..., band_audit=wants_band_audit(cfg, band))``, or the
+    VJ->CS handoff's tree_map hits a None/array leaf mismatch at trace
+    time (the r5 verify_chip serving-gate failure).  ``band`` must already
+    be resolve_band()-normalized."""
+    return band is not None and config.bandHist and config.bandHistAudit
 
 
 def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
@@ -181,8 +193,7 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
     # bandHist handoff audit (deviation 13 safety net): the full step's
     # VJ->CS handoff stamps band_dirty; dirty streams escape to the
     # full-frame fallback every band tick (camshift.track_band)
-    audit_band = (band if (band is not None and config.bandHist
-                           and config.bandHistAudit) else None)
+    audit_band = band if wants_band_audit(config, band) else None
     full1 = ft.make_step(cascade, config, frame_shape, "full",
                          audit_band=audit_band)
     full = jax.vmap(full1)
@@ -476,8 +487,7 @@ class BatchedTracker:
         self.cascade = cascade if cascade is not None else frontalface()
         self.mesh = mesh
         self.band = resolve_band(band, frame_shape)
-        self._band_audit = (self.band is not None and self.config.bandHist
-                            and self.config.bandHistAudit)
+        self._band_audit = wants_band_audit(self.config, self.band)
         self._divergence_fn = None
         self.bucket = max(1, min(int(bucket), n_streams))
         if mesh is not None:

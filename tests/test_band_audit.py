@@ -145,3 +145,30 @@ def test_checkpoint_band_dirty_defaults_conservative(tmp_path):
     assert np.asarray(bt_new.state.cs.band_dirty).all()
     out = bt_new.step_auto(f)
     assert np.asarray(out.escaped).all()  # served exact from the first tick
+
+
+def test_external_state_builder_schema_rule():
+    """Regression (r5 chip-gate failure): an EXTERNAL state builder (the
+    verify_chip wiring — make_batched_steps + ft.init_state, no
+    BatchedTracker) must derive the audit flag via
+    serving.wants_band_audit, or the VJ->CS handoff tree_map hits a
+    None/array leaf mismatch at trace time.  Runs the exact failing
+    combination: bandHist=True, audit default ON, scan through a handoff."""
+    from headtrackr_tpu.runtime.serving import (make_batched_steps,
+                                                resolve_band,
+                                                wants_band_audit)
+    from headtrackr_tpu.config import TrackerConfig
+    cfg = TrackerConfig(smoothing=False, headPosition=False, bandHist=True)
+    band = resolve_band(BAND, (H, W))
+    assert wants_band_audit(cfg, band)  # audit defaults ON with a band
+    _, _, _, _, step_scan = make_batched_steps(
+        ht.toy_cascade(), cfg, (H, W), bucket=1, band=BAND, donate=False)
+    s1 = ftm.init_state(cfg.whitebalancing, 0,
+                        band_audit=wants_band_audit(cfg, band))
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (2,) + x.shape).copy(), s1)
+    clip = jnp.asarray(np.stack(
+        [np.stack([_blob_frame(), _blob_frame(100, 70)])] * 20))
+    st, out = step_scan(state, clip)   # traces the handoff: must not raise
+    assert (np.asarray(out.detection)[-1] == 2).all()  # locked by clip end
+    assert np.asarray(st.cs.band_dirty).shape == (2,)

@@ -282,7 +282,9 @@ def run_device_serving(clip, exact, band="auto", sparse=None,
     from headtrackr_tpu.cascade import frontalface
     from headtrackr_tpu.config import TrackerConfig
     from headtrackr_tpu.models import facetracker as ft
-    from headtrackr_tpu.runtime.serving import make_batched_steps
+    from headtrackr_tpu.runtime.serving import (make_batched_steps,
+                                                resolve_band,
+                                                wants_band_audit)
 
     ht.enable_compilation_cache(
         os.environ.get("HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
@@ -293,7 +295,9 @@ def run_device_serving(clip, exact, band="auto", sparse=None,
         frontalface(), cfg, clip.shape[1:3], bucket=1, band=band,
         donate=False)
 
-    state1 = ft.init_state(cfg.whitebalancing, sparse or 0)
+    state1 = ft.init_state(cfg.whitebalancing, sparse or 0,
+                           band_audit=wants_band_audit(
+                               cfg, resolve_band(band, clip.shape[1:3])))
     state = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], state1)
     frames = jnp.asarray(clip)[:, None]
     t0 = time.time()
@@ -327,7 +331,9 @@ def run_relock_gate(clip, band="auto", sparse=None, band_hist=False):
     from headtrackr_tpu.cascade import frontalface
     from headtrackr_tpu.config import TrackerConfig
     from headtrackr_tpu.models import facetracker as ft
-    from headtrackr_tpu.runtime.serving import make_batched_steps
+    from headtrackr_tpu.runtime.serving import (make_batched_steps,
+                                                resolve_band,
+                                                wants_band_audit)
 
     ht.enable_compilation_cache(
         os.environ.get("HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
@@ -344,7 +350,9 @@ def run_relock_gate(clip, band="auto", sparse=None, band_hist=False):
     _, _, _, _, step_scan = make_batched_steps(
         frontalface(), cfg, clip.shape[1:3], bucket=2, band=band,
         donate=False)
-    state1 = ft.init_state(cfg.whitebalancing, sparse or 0)
+    state1 = ft.init_state(cfg.whitebalancing, sparse or 0,
+                           band_audit=wants_band_audit(
+                               cfg, resolve_band(band, clip.shape[1:3])))
     state = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(jnp.asarray(x), (N,) + np.shape(x)).copy(),
         state1)
