@@ -237,6 +237,20 @@ def main():
                          "--no-band-hist is the reference-exact "
                          "full-frame-histogram arm.  A/B: "
                          "tools/exp_bandhist_ab.py")
+    ap.add_argument("--k1", type=int, default=None,
+                    help="TrackerConfig.survivorsStage2: deep-stage window "
+                         "capacity (None = the 4096 default = 26 tiles; "
+                         "2048 = 13 tiles).  The r5 detect-tick A/B: 2048 "
+                         "cuts the full-batch detect tick 47->38 ms at "
+                         "N=256 (tools/exp_detect_split.py --k1) because "
+                         "tile blocks/patches/deep-stage matmuls all "
+                         "shrink with the tile count; final candidate SET "
+                         "measured identical on this workload and the "
+                         "conformance clips (evicted weak survivors die "
+                         "in deep stages anyway), but CROWD capacity "
+                         "halves (PARITY deviation 5 — 22 true tiles on "
+                         "the 16-face clutter fixture need 26).  Gate any "
+                         "non-default with verify_chip --k1")
     ap.add_argument("--hist-kernel", type=str, default=None,
                     choices=["pallas"],
                     help="TrackerConfig.histKernel: run the dense camshift "
@@ -289,12 +303,13 @@ def main():
 
     from headtrackr_tpu.models.camshift import parse_band
     band = parse_band(args.band)
+    extra_cfg = {"survivorsStage2": args.k1} if args.k1 else {}
     bt = ht.BatchedTracker(N, frame_shape=(H, W), ui=False,
                            bucket=args.bucket, band=band,
                            sparseHist=args.sparse_hist,
                            overload=args.overload,
                            histKernel=args.hist_kernel,
-                           bandHist=args.band_hist)
+                           bandHist=args.band_hist, **extra_cfg)
 
     print("# compiling (device-scheduled step + scan program)...",
           file=sys.stderr)
@@ -328,7 +343,7 @@ def main():
                                  sparseHist=args.sparse_hist,
                                  overload=args.overload,
                                  histKernel=args.hist_kernel,
-                                 bandHist=False)
+                                 bandHist=False, **extra_cfg)
         bt_x.warmup(scan_len=scan_len, host_sched=False)
         print(f"# compile: {time.time() - t_c1:.0f}s", file=sys.stderr)
         exact_fps, _, _ = measure_serving(bt_x, pool, scan_len, args.ticks,

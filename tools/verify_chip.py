@@ -27,6 +27,13 @@ import numpy as np
 
 _BG = (120, 100, 90)
 
+# Extra TrackerConfig fields threaded into every tracking-gate config
+# (run_device / run_device_serving / run_relock_gate) — set from --k1 so the
+# reduced-capacity serving configuration (survivorsStage2=2048, the r5
+# detect-tick A/B) can be gated in the exact shape it would serve in.  The
+# clutter gate sweeps its own k1 arms and ignores this.
+EXTRA_CFG = {}
+
 
 def build_clip(n_track, noise=0, size=(240, 320)):
     """17 still frames (WB window + VJ lock) then a +-2 px/tick ping-pong pan.
@@ -200,6 +207,19 @@ def run_clutter_gate(size):
           f"overflow {ovf} | all true survivors: {subset_s} | detect_best "
           f"found: {bool(found)} (conf {float(conf):.2f})")
 
+    # r5 reduced-capacity serving configuration (survivorsStage2=2048 ->
+    # 13 tiles): same assertions as the serving-caps arm — over-subscribed
+    # on the crowd, every kept candidate a true survivor, face still found.
+    bj, ovf = device_set(2048, 128, 64)
+    subset2 = all(any(close(a, b) for b in bo) for a in bj)
+    found2, _, _, _, _, conf2 = jax.jit(lambda a: jd.detect_best(
+        a, ht.cascade(), k1=2048, k2=128, k_cand=64))(jnp.asarray(gray))
+    reduced_ok = ovf > 0 and len(bj) > 0 and subset2 and bool(found2)
+    ok &= reduced_ok
+    print(f"clutter reduced caps (2048/128/64): {len(bj)} candidates, "
+          f"overflow {ovf} | all true survivors: {subset2} | detect_best "
+          f"found: {bool(found2)} (conf {float(conf2):.2f})")
+
     bj, ovf = device_set(640, 512, 256)
     subset = all(any(close(a, b) for b in bo) for a in bj)
     starved_ok = ovf > 0 and len(bj) < len(bo) and subset
@@ -249,7 +269,7 @@ def run_device(clip, exact):
     ht.enable_compilation_cache(
         os.environ.get("HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
     cfg = TrackerConfig(smoothing=False, headPosition=False,
-                        exactCamshift=exact)
+                        exactCamshift=exact, **EXTRA_CFG)
     step = ft.make_step(frontalface(), cfg, clip.shape[1:3], "full")
 
     @jax.jit
@@ -290,7 +310,7 @@ def run_device_serving(clip, exact, band="auto", sparse=None,
         os.environ.get("HEADTRACKR_JAX_CACHE", "/root/.cache/headtrackr_jax"))
     cfg = TrackerConfig(smoothing=False, headPosition=False,
                         exactCamshift=exact, sparseHist=sparse,
-                        bandHist=band_hist)
+                        bandHist=band_hist, **EXTRA_CFG)
     _, _, _, _, step_scan = make_batched_steps(
         frontalface(), cfg, clip.shape[1:3], bucket=1, band=band,
         donate=False)
@@ -346,7 +366,7 @@ def run_relock_gate(clip, band="auto", sparse=None, band_hist=False):
     frames[loss_t, :3] = blue
 
     cfg = TrackerConfig(smoothing=False, headPosition=False,
-                        sparseHist=sparse, bandHist=band_hist)
+                        sparseHist=sparse, bandHist=band_hist, **EXTRA_CFG)
     _, _, _, _, step_scan = make_batched_steps(
         frontalface(), cfg, clip.shape[1:3], bucket=2, band=band,
         donate=False)
@@ -466,6 +486,13 @@ def main():
                     help="gate the serving path with "
                          "TrackerConfig.sparseHist=K (sparse-model camshift "
                          "histograms; the bench's serving configuration)")
+    ap.add_argument("--k1", type=int, default=None,
+                    help="gate with TrackerConfig.survivorsStage2=K1 (deep-"
+                         "stage window capacity; 4096 default = 26 tiles, "
+                         "2048 = 13 tiles — the r5 detect-tick A/B's "
+                         "reduced-capacity serving configuration).  "
+                         "Capacity semantics: PARITY deviation 5; the "
+                         "clutter gate sweeps its own k1 arms regardless")
     ap.add_argument("--band-hist", action="store_true",
                     help="gate the serving path with "
                          "TrackerConfig.bandHist (band-local current "
@@ -474,6 +501,8 @@ def main():
                          "because the synthface handoff model carries no "
                          "background bins)")
     args = ap.parse_args()
+    if args.k1:
+        EXTRA_CFG["survivorsStage2"] = args.k1
     from headtrackr_tpu.models.camshift import parse_band
     band = parse_band(args.band)
     try:
