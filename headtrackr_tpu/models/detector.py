@@ -68,6 +68,19 @@ TILE_RANK = "maxconf"
 TILE_Y = 8
 TILE_X = 20
 TILE_WINDOWS = TILE_Y * TILE_X
+
+# Deep-stage (chunk B/C) selection-matmul operand dtype.  "int8" shifts the
+# u8 patch matrix by -128 into int8 and runs the one-hot selection dots as
+# int8 x int8 -> int32 MXU matmuls — EXACT by construction: each selection
+# column picks exactly ONE pixel (integer dot, int32 accumulation is always
+# exact), and the BBF compare min(p_i) > max(n_j) is invariant under the
+# common -128 shift, so the shift never needs undoing (invalid-slot fills
+# become the shifted range extremes 127 / -128).  Halves the HBM bytes of
+# the patch operand re-read per selection slot and runs the MXU at int8
+# rate.  "bf16" is the r1-r5 formulation (u8 values are bf16-exact).
+# Default stays bf16 until the on-chip A/B (exp_detect_split --deep-dtype)
+# and the conformance gate qualify the int8 path.
+DEEP_DTYPE = "bf16"
 # Tile block shapes read from the three planes (window (dy,dx) + feature extent):
 B0_SHAPE = (2 * TILE_Y + 24, 2 * TILE_X + 24)    # (40, 64)
 B1_SHAPE = (TILE_Y + 12, TILE_X + 12)            # (20, 32)
@@ -413,6 +426,11 @@ def _tile_patches(b0, b1, bi):
     pq = patches(bi, (6, 6), (1, 1), (2, 2))             # (T, 36, 8, 20)
     cat = jnp.concatenate([p0, p1, pq], axis=1)          # (T, 756, 8, 20)
     patches_t = cat.transpose(1, 0, 2, 3).reshape(756, T * TILE_WINDOWS)
+    if DEEP_DTYPE == "int8":
+        # u8 values are exact integers in bf16; shifting by -128 lands them
+        # in [-128, 127], so the int8 cast is lossless (see the DEEP_DTYPE
+        # note — the shift is never undone)
+        patches_t = (patches_t.astype(jnp.int16) - 128).astype(jnp.int8)
     return jnp.pad(patches_t, ((0, PATCH_LEN - 756), (0, 0)))
 
 
@@ -423,13 +441,23 @@ def _patch_chunk(patches_t, cascade_key, k_lo, k_hi, stages, valid, conf_in,
     patches_t: TRANSPOSED patch matrix (768, W_); all intermediates are
     (Kc, W_) so the patch assembly never pays a minor-dim relayout."""
     mats = _selection_mats(cascade_key, k_lo, k_hi)
+    i8 = patches_t.dtype == jnp.int8
 
     def side_minmax(side, reduce_min):
         acc = None
         for G, vmask in mats[side]:
-            vals = jnp.dot(jnp.asarray(G.T, jnp.bfloat16), patches_t,
-                           preferred_element_type=jnp.float32)  # (Kc, W_)
-            fill = np.float32(255.0) if reduce_min else np.float32(0.0)
+            if i8:
+                # int8 x int8 -> int32: exact (one selected pixel per
+                # column); values carry the -128 patch shift, which the
+                # min>max compare is invariant under, so fills are the
+                # shifted range extremes
+                vals = jnp.dot(jnp.asarray(G.T, jnp.int8), patches_t,
+                               preferred_element_type=jnp.int32)  # (Kc, W_)
+                fill = np.int32(127) if reduce_min else np.int32(-128)
+            else:
+                vals = jnp.dot(jnp.asarray(G.T, jnp.bfloat16), patches_t,
+                               preferred_element_type=jnp.float32)  # (Kc, W_)
+                fill = np.float32(255.0) if reduce_min else np.float32(0.0)
             vals = jnp.where(jnp.asarray(vmask)[:, None], vals, fill)
             if acc is None:
                 acc = vals
@@ -675,9 +703,16 @@ def detect_candidates(gray, cascade, interval=5, k1=4096, k2=512, k_cand=256):
             safe2 = jnp.minimum(idx2, W_ - 1)
             onehot = (idx2[None, :] ==
                       jax.lax.broadcasted_iota(jnp.int32, (W_, 1), 0))
-            patches2_t = jnp.dot(patches_t, onehot.astype(jnp.bfloat16),
-                                 preferred_element_type=jnp.float32
-                                 ).astype(jnp.bfloat16)   # (768, k2)
+            if patches_t.dtype == jnp.int8:
+                # int8 column re-select: int32 accumulation exact, values
+                # stay in [-128, 127] so the int8 round-trip is lossless
+                patches2_t = jnp.dot(patches_t, onehot.astype(jnp.int8),
+                                     preferred_element_type=jnp.int32
+                                     ).astype(jnp.int8)   # (768, k2)
+            else:
+                patches2_t = jnp.dot(patches_t, onehot.astype(jnp.bfloat16),
+                                     preferred_element_type=jnp.float32
+                                     ).astype(jnp.bfloat16)   # (768, k2)
             conf2 = conf1[safe2]
             alive2, conf2 = _patch_chunk(patches2_t, key,
                                          int(cum[b_end]), int(cum[S]),

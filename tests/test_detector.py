@@ -260,3 +260,39 @@ def test_detect_best_min_neighbors_zero():
     assert bool(found)
     raw = od.detect_objects(img, toy, 5, 0)
     assert float(conf) == max(r["confidence"] for r in raw)
+
+
+def test_int8_deep_dtype_candidate_sets_exact(rng):
+    """detector.DEEP_DTYPE="int8" (r5): the chunk-B/C selection dots run as
+    i8 x i8 -> i32 MXU matmuls on a -128-shifted patch matrix.  Exact by
+    construction — each selection column picks ONE pixel (integer dot, i32
+    accumulation), and the BBF min(p) > max(n) compare is invariant under
+    the common shift — so candidate sets must match the oracle AND the bf16
+    path bit-for-bit on threshold-floored noise that exercises every chunk
+    and both compactions (the test_full_cascade_survivors fixture)."""
+    base = frontalface()
+    cum = np.concatenate([[0], np.cumsum(base.stage_counts)])
+    a0 = np.array([base.alpha[cum[s]:cum[s + 1], 0].sum() for s in range(16)])
+    a1 = np.array([base.alpha[cum[s]:cum[s + 1], 1].sum() for s in range(16)])
+    thr = (a0 + 0.01 * (a1 - a0) - 1e-3).astype(np.float32)
+    casc = dataclasses.replace(base, stage_thresh=thr)
+    img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    seq_o = od.dense_scores(img, casc)
+
+    def run():
+        cand = jax.jit(lambda x: jd.detect_candidates(x, casc, k_cand=512))(
+            jnp.asarray(img))
+        return jax.tree_util.tree_map(np.asarray, cand)
+
+    assert jd.DEEP_DTYPE == "bf16"   # suite-wide default
+    ref = run()
+    old = jd.DEEP_DTYPE
+    try:
+        jd.DEEP_DTYPE = "int8"
+        c8 = run()
+    finally:
+        jd.DEEP_DTYPE = old
+    bj, bo = _raw_sets(c8, seq_o)
+    _assert_box_lists_close(bj, bo)
+    for k in ("x", "y", "width", "height", "confidence", "valid"):
+        np.testing.assert_array_equal(c8[k], ref[k], err_msg=k)

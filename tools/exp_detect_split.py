@@ -66,6 +66,13 @@ def main():
                          "(imageproc.PYRAMID_GATHER): constant one-hot MXU "
                          "matmuls vs jnp.take gathers — bit-identical "
                          "outputs")
+    ap.add_argument("--deep-dtype", type=str, default=None,
+                    choices=["bf16", "int8"],
+                    help="chunk B/C selection-matmul operand dtype "
+                         "(detector.DEEP_DTYPE): int8 runs the one-hot "
+                         "selection dots as i8 x i8 -> i32 MXU matmuls on a "
+                         "-128-shifted patch matrix — bit-identical "
+                         "candidate sets (shift-invariant min>max compare)")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +92,8 @@ def main():
     if args.pyr_gather is not None:
         from headtrackr_tpu.ops import imageproc
         imageproc.PYRAMID_GATHER = args.pyr_gather
+    if args.deep_dtype is not None:
+        det.DEEP_DTYPE = args.deep_dtype
 
     # ---- knob overrides (module constants; tables cache depends on tile) --
     if args.chunk_a is not None:
@@ -110,7 +119,8 @@ def main():
              f"tile={det.TILE_Y}x{det.TILE_X} "
              f"k1={cfg_kw.get('survivorsStage2', 4096)} "
              f"k2={cfg_kw.get('survivorsDeep', 512)} "
-             f"k_cand={cfg_kw.get('maxCandidates', 256)}")
+             f"k_cand={cfg_kw.get('maxCandidates', 256)} "
+             f"deep={det.DEEP_DTYPE}")
     print(f"# {N} streams, {W}x{H}, {knobs}", flush=True)
 
     rng = np.random.default_rng(0)
