@@ -421,6 +421,11 @@ def main():
         # (docs/PARITY.md deviation 13).
         record["exact_value"] = round(exact_fps, 1)
         record["exact_vs_baseline"] = round(exact_fps / 20000.0, 4)
+    # Cold start (WB lock + full-batch VJ detect + CS handoff over 16 ticks,
+    # overload policy applied): the detect-tick-bound phase, machine-readable
+    # so BENCH_r*.json carries the relock economics alongside steady state.
+    record["cold_start_value"] = round(lock_fps, 1)
+    record["cold_start_unit"] = "frames/sec/chip (16-tick lock phase)"
     print(json.dumps(record))
 
 
