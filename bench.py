@@ -251,6 +251,21 @@ def main():
                          "halves (PARITY deviation 5 — 22 true tiles on "
                          "the 16-face clutter fixture need 26).  Gate any "
                          "non-default with verify_chip --k1")
+    ap.add_argument("--k2", type=int, default=None,
+                    help="TrackerConfig.survivorsDeep: stage-6+ window "
+                         "capacity (None = 512 default).  256 measured "
+                         "43.4 vs 46.6 ms/tick on the full detect tick "
+                         "(r5); deep-bucket overflow is ZERO on all "
+                         "conformance content even at 512 (decomposed r5) "
+                         "and the overflow telemetry reports any hit")
+    ap.add_argument("--deep-dtype", type=str, default=None,
+                    choices=["bf16", "int8"],
+                    help="detector.DEEP_DTYPE: int8 runs the chunk-B/C "
+                         "selection dots as i8 MXU matmuls on a -128-"
+                         "shifted patch matrix (bit-exact by construction; "
+                         "CPU golden + package-boundary drive verified r5). "
+                         "A/B knob for the detect-tick-bound phases (cold "
+                         "start, relock)")
     ap.add_argument("--hist-kernel", type=str, default=None,
                     choices=["pallas"],
                     help="TrackerConfig.histKernel: run the dense camshift "
@@ -303,7 +318,14 @@ def main():
 
     from headtrackr_tpu.models.camshift import parse_band
     band = parse_band(args.band)
-    extra_cfg = {"survivorsStage2": args.k1} if args.k1 else {}
+    extra_cfg = {}
+    if args.k1:
+        extra_cfg["survivorsStage2"] = args.k1
+    if args.k2:
+        extra_cfg["survivorsDeep"] = args.k2
+    if args.deep_dtype:
+        from headtrackr_tpu.models import detector as _det
+        _det.DEEP_DTYPE = args.deep_dtype
     bt = ht.BatchedTracker(N, frame_shape=(H, W), ui=False,
                            bucket=args.bucket, band=band,
                            sparseHist=args.sparse_hist,

@@ -493,6 +493,16 @@ def main():
                          "reduced-capacity serving configuration).  "
                          "Capacity semantics: PARITY deviation 5; the "
                          "clutter gate sweeps its own k1 arms regardless")
+    ap.add_argument("--k2", type=int, default=None,
+                    help="gate with TrackerConfig.survivorsDeep=K2 (stage-"
+                         "6+ window capacity; 512 default, 256 = the r5 "
+                         "reduced serving configuration)")
+    ap.add_argument("--deep-dtype", type=str, default=None,
+                    choices=["bf16", "int8"],
+                    help="gate with detector.DEEP_DTYPE: int8 runs the "
+                         "chunk-B/C selection dots as i8 MXU matmuls "
+                         "(bit-exact by construction, r5; golden-tested "
+                         "on CPU — this flag demonstrates it on chip)")
     ap.add_argument("--band-hist", action="store_true",
                     help="gate the serving path with "
                          "TrackerConfig.bandHist (band-local current "
@@ -503,6 +513,11 @@ def main():
     args = ap.parse_args()
     if args.k1:
         EXTRA_CFG["survivorsStage2"] = args.k1
+    if args.k2:
+        EXTRA_CFG["survivorsDeep"] = args.k2
+    if args.deep_dtype:
+        from headtrackr_tpu.models import detector as _det
+        _det.DEEP_DTYPE = args.deep_dtype
     from headtrackr_tpu.models.camshift import parse_band
     band = parse_band(args.band)
     try:
