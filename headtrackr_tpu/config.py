@@ -107,19 +107,44 @@ class TrackerConfig:
                                        # whether any model-colored pixel
                                        # lies outside the serving band —
                                        # the content condition under which
-                                       # bandHist becomes approximate.
-                                       # Dirty streams are served by the
-                                       # full-frame escape fallback
-                                       # (reference-exact, bounded cost)
-                                       # until a clean relock, and show up
-                                       # in StepOutput.escaped telemetry.
-                                       # Costs one extra full-frame lookup
-                                       # on handoff ticks only.  Effective
-                                       # only with bandHist on a band path;
-                                       # the periodic cross-check
+                                       # bandHist can become approximate
+                                       # (NECESSARY, not sufficient: the
+                                       # r5 bench pool trips it on 85/256
+                                       # streams whose windows are
+                                       # nevertheless bit-equal).  Dirty
+                                       # streams carry a per-stream
+                                       # band_dirty flag (state.cs,
+                                       # BatchedTracker.stream_info);
+                                       # what is DONE about them is
+                                       # bandHistAuditAction.  Costs one
+                                       # extra full-frame lookup on handoff
+                                       # ticks only.  Effective only with
+                                       # bandHist on a band path; the
+                                       # periodic cross-check
                                        # (BatchedTracker.
                                        # band_hist_divergence) is the
-                                       # complementary runtime monitor.
+                                       # complementary QUANTITATIVE
+                                       # monitor.
+    bandHistAuditAction: str = "flag"  # what a dirty band_dirty flag does:
+                                       # "flag"   — telemetry only (state +
+                                       #   stream_info); serving stays on
+                                       #   the band-local path.  Pair with
+                                       #   band_hist_divergence sampling.
+                                       # "escape" — dirty streams are served
+                                       #   by the full-frame escape fallback
+                                       #   (reference-exact) every tick
+                                       #   until a clean relock, surfacing
+                                       #   in StepOutput.escaped.  Only
+                                       #   sensible when dirty streams are
+                                       #   RARE: the fallback is sized for
+                                       #   transient escapes (escape_bucket
+                                       #   streams/tick) — more PERMANENT
+                                       #   dirty streams than that force the
+                                       #   full-batch recompute every tick,
+                                       #   which costs MORE than
+                                       #   bandHist=False (measured r5:
+                                       #   85/256 dirty -> 9.60 ms/tick vs
+                                       #   3.49 flag / 5.2 bandHist-off).
     histKernel: Optional[str] = None   # "pallas": run the DENSE camshift
                                        # histogram/backprojection pixel scans
                                        # as the Mosaic kernels in

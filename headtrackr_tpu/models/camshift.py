@@ -485,7 +485,8 @@ def parse_band(tok):
 
 
 def track_band(state, frame_rgb, calc_angles=True, exact=False,
-               band=DEFAULT_BAND, block=None, kernel=None, band_hist=False):
+               band=DEFAULT_BAND, block=None, kernel=None, band_hist=False,
+               audit_escape=True):
     """Band-local camshift step: same math as ``track`` with the pdf lookup
     and moment reductions restricted to an 8-aligned band around the search
     window (the big steady-state cost cut — the full-frame pdf pass is most
@@ -520,6 +521,12 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
     read by the band pdf, and a zero-mass loss stays zero-mass).  Exact
     whenever the band contains every model-colored pixel — docs/PARITY.md
     deviation 13.
+
+    audit_escape (static; TrackerConfig.bandHistAuditAction == "escape"):
+    when the state carries a handoff-audit band_dirty flag AND
+    band_hist=True, OR the flag into ``escaped`` so the caller's
+    full-frame fallback serves dirty streams reference-exact.  False (the
+    "flag" action) leaves the flag as telemetry only.
     """
     H, W = frame_rgb.shape[0], frame_rgb.shape[1]
     # band placement: 8-aligned starts centered on the clamped search
@@ -581,11 +588,14 @@ def track_band(state, frame_rgb, calc_angles=True, exact=False,
         pdf_band, state.window, exact, ry, rx, H, W)
     if sparse:
         escaped = escaped | state.model_overflow
-    if band_hist and state.band_dirty is not None:
-        # bandHist handoff audit (deviation 13 safety net): a stream whose
-        # handoff found model-colored pixels outside the band is served by
-        # the full-frame fallback every tick — reference-exact results at
-        # the escape path's bounded cost — until a clean relock clears it.
+    if band_hist and audit_escape and state.band_dirty is not None:
+        # bandHist handoff audit, "escape" action (deviation 13 safety
+        # net, TrackerConfig.bandHistAuditAction): a stream whose handoff
+        # found model-colored pixels outside the band is served by the
+        # full-frame fallback every tick — reference-exact results at the
+        # escape path's bounded cost — until a clean relock clears it.
+        # Under the default "flag" action the band_dirty flag is telemetry
+        # only (the audit condition is conservative; see config.py).
         escaped = escaped | state.band_dirty
     new_state = _finish(state, win2, m, zero_mass, calc_angles, H, W)
     return new_state, escaped

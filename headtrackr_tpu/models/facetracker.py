@@ -174,6 +174,9 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
     if band is not None and (variant not in ("track", "wbtrack") or with_pdf):
         raise ValueError("band requires variant='track'/'wbtrack' "
                          "without with_pdf")
+    if config.bandHistAuditAction not in ("flag", "escape"):
+        raise ValueError("bandHistAuditAction must be 'flag' or 'escape', "
+                         f"got {config.bandHistAuditAction!r}")
     H, W = frame_shape
     f32 = jnp.float32
 
@@ -227,11 +230,11 @@ def make_step(cascade, config: TrackerConfig, frame_shape, variant="full",
         return st, res
 
     def cs_branch_band(state, frame):
-        new_cs, escaped = cs.track_band(state.cs, frame, config.calcAngles,
-                                        config.exactCamshift, band,
-                                        config.histBlock,
-                                        kernel=config.histKernel,
-                                        band_hist=config.bandHist)
+        new_cs, escaped = cs.track_band(
+            state.cs, frame, config.calcAngles,
+            config.exactCamshift, band, config.histBlock,
+            kernel=config.histKernel, band_hist=config.bandHist,
+            audit_escape=(config.bandHistAuditAction == "escape"))
         res = _Result(x=new_cs.track_x.astype(f32), y=new_cs.track_y.astype(f32),
                       w=new_cs.track_w.astype(f32), h=new_cs.track_h.astype(f32),
                       angle=new_cs.track_angle.astype(f32), conf=f32(1.0),

@@ -119,12 +119,18 @@ def plan_serving(n_streams, frame_shape=(240, 320), max_face_px=100,
     - ``bandHist``: planned True (band-local current histograms — the
       measured +48% throughput serving mode, 73.4k vs 49.6k fps/chip at
       256 streams, r4) BECAUSE the default handoff audit
-      (TrackerConfig.bandHistAudit) now guards its content condition at
+      (TrackerConfig.bandHistAudit) surfaces its content condition at
       runtime: a stream whose handoff model carries out-of-band bins is
-      served by the reference-exact fallback until a clean relock (PARITY
-      deviation 13 safety net), so the mode no longer needs an offline
-      content judgement.  Pair with periodic
-      BatchedTracker.band_hist_divergence sampling in production.
+      flagged band_dirty (stream_info; PARITY deviation 13 safety net),
+      so the mode no longer needs an offline content judgement.  Pair
+      with periodic BatchedTracker.band_hist_divergence sampling in
+      production.  The audit condition is NECESSARY, not sufficient (r5:
+      85/256 bench streams flag dirty with bit-equal windows), so the
+      default action is telemetry; deployments that require hard
+      exactness on RARE dirty content can set
+      bandHistAuditAction="escape" (reference-exact fallback until a
+      clean relock — see config.py for the cost cliff when dirty streams
+      exceed escape_bucket).
 
     >>> p = plan_serving(256, max_face_px=40)
     >>> bt = BatchedTracker(256, band=p["band"], bucket=p["bucket"],
@@ -191,8 +197,11 @@ def make_batched_steps(cascade, config, frame_shape, mesh=None, donate=True,
     """
     band = resolve_band(band, frame_shape)
     # bandHist handoff audit (deviation 13 safety net): the full step's
-    # VJ->CS handoff stamps band_dirty; dirty streams escape to the
-    # full-frame fallback every band tick (camshift.track_band)
+    # VJ->CS handoff stamps band_dirty.  What dirty means downstream is
+    # config.bandHistAuditAction: "flag" (default) = telemetry only
+    # (stream_info / band_hist_divergence); "escape" = dirty streams
+    # escape to the full-frame fallback every band tick
+    # (camshift.track_band) — rare-dirty content only (see config.py).
     audit_band = band if wants_band_audit(config, band) else None
     full1 = ft.make_step(cascade, config, frame_shape, "full",
                          audit_band=audit_band)

@@ -6,9 +6,12 @@ assuming it:
 
   (a) handoff audit (TrackerConfig.bandHistAudit, default on): at VJ->CS
       handoff, test on device whether any model-bin pixel lies outside the
-      band (camshift.handoff_band_audit); dirty streams are served by the
-      reference-exact full-frame escape fallback every tick until a clean
-      relock.
+      band (camshift.handoff_band_audit) and stamp a per-stream band_dirty
+      flag.  The flag's ACTION is TrackerConfig.bandHistAuditAction:
+      "flag" (default) leaves it as telemetry (the condition is necessary,
+      not sufficient — false positives are the common case on multi-bin
+      models); "escape" serves dirty streams by the reference-exact
+      full-frame fallback every tick until a clean relock.
   (b) periodic cross-check: BatchedTracker.band_hist_divergence recomputes
       one sampled stream's current histogram both ways and reports the
       weight inflation the band pdf would see.
@@ -66,14 +69,15 @@ def test_handoff_band_audit_clean_vs_contaminated():
 
 def test_audited_serving_matches_exact_path():
     """A contaminated handoff (toy cascade: model carries bg bins) under the
-    DEFAULT audit must (1) flag band_dirty, (2) surface in escaped
-    telemetry, and (3) produce bit-identical windows to the reference-exact
-    bandHist=False tracker — the fallback doing its job."""
+    audit's "escape" action must (1) flag band_dirty, (2) surface in
+    escaped telemetry, and (3) produce bit-identical windows to the
+    reference-exact bandHist=False tracker — the fallback doing its job."""
     frames_seq = [np.stack([_blob_frame(60 + (t % 5), 50),
                             _blob_frame(100, 70)]) for t in range(24)]
     mk = lambda bh: ht.BatchedTracker(
         2, frame_shape=(H, W), cascade=ht.toy_cascade(), bucket=1,
-        band=BAND, bandHist=bh, smoothing=False, headPosition=False)
+        band=BAND, bandHist=bh, bandHistAuditAction="escape",
+        smoothing=False, headPosition=False)
     bt_a, bt_x = mk(True), mk(False)
     assert bt_a._band_audit and bt_x.state.cs.band_dirty is None
     for t, f in enumerate(frames_seq):
@@ -89,6 +93,39 @@ def test_audited_serving_matches_exact_path():
     assert np.asarray(bt_a.state.cs.band_dirty).all()
     assert np.asarray(out_a.escaped).all()       # permanent exact fallback
     assert not np.asarray(out_x.escaped).any()   # plain band path: no audit
+
+
+def test_flag_action_is_telemetry_only():
+    """The DEFAULT audit action ("flag"): contaminated handoffs stamp
+    band_dirty but serving stays on the band-local path — no escapes, and
+    every output is bit-identical to an audit-OFF tracker (the flag must
+    not perturb results; it is pure telemetry read via stream_info)."""
+    frames_seq = [np.stack([_blob_frame(60 + (t % 5), 50),
+                            _blob_frame(100, 70)]) for t in range(24)]
+    mk = lambda audit: ht.BatchedTracker(
+        2, frame_shape=(H, W), cascade=ht.toy_cascade(), bucket=1,
+        band=BAND, bandHist=True, bandHistAudit=audit,
+        smoothing=False, headPosition=False)
+    bt_f, bt_off = mk(True), mk(False)
+    assert bt_f.config.bandHistAuditAction == "flag"  # the default
+    for t, f in enumerate(frames_seq):
+        out_f = bt_f.step_auto(f)
+        out_off = bt_off.step_auto(f)
+        for name, a, b in zip(out_f._fields, out_f, out_off):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"tick {t} field {name}")
+    assert bt_f.modes.tolist() == [ftm.MODE_CS] * 2
+    assert np.asarray(bt_f.state.cs.band_dirty).all()   # telemetry present
+    assert not np.asarray(out_f.escaped).any()          # ...but no fallback
+
+
+def test_audit_action_validated():
+    with pytest.raises(ValueError, match="bandHistAuditAction"):
+        ht.BatchedTracker(2, frame_shape=(H, W), cascade=ht.toy_cascade(),
+                          bucket=1, band=BAND, bandHist=True,
+                          bandHistAuditAction="bogus",
+                          smoothing=False, headPosition=False)
 
 
 def test_audit_off_keeps_approximate_path():
@@ -140,7 +177,7 @@ def test_checkpoint_band_dirty_defaults_conservative(tmp_path):
         bt_old.step_auto(f)
     path = str(tmp_path / "old.npz")
     ckpt.save_tracker(path, bt_old)
-    bt_new = mk(bandHist=True)   # audited schema
+    bt_new = mk(bandHist=True, bandHistAuditAction="escape")  # audited schema
     ckpt.load_tracker(path, bt_new)
     assert np.asarray(bt_new.state.cs.band_dirty).all()
     out = bt_new.step_auto(f)

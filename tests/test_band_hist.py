@@ -66,10 +66,11 @@ def test_serving_band_hist_keeps_loss_semantics_and_tracks():
 
     outs = {}
     for bh in (False, True):
-        # bandHistAudit=False: this test pins the RAW deviation (the toy
-        # model carries bg bins, so the default audit would route these
-        # streams to the exact fallback and hide the inflation being
-        # bounded here — the audited behavior is tests/test_band_audit.py)
+        # bandHistAudit=False: this test pins the RAW deviation without
+        # the audit machinery in the way (the toy model carries bg bins, so
+        # the audit would flag these streams — and under the "escape"
+        # action route them to the exact fallback, hiding the inflation
+        # being bounded here; audited behavior is tests/test_band_audit.py)
         cfg = TrackerConfig(smoothing=False, headPosition=False, bandHist=bh,
                             bandHistAudit=False)
         _, _, _, _, step_scan = make_batched_steps(
