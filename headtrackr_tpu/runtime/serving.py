@@ -635,6 +635,35 @@ class BatchedTracker:
         self._pending_modes = out.mode_after[-1]
         return out
 
+    def stream_info(self, stream):
+        """Per-stream observability snapshot (host pulls — NOT for the
+        per-tick hot path; poll it on demand or on a rotating sample).
+
+          mode          "wb" | "vj" | "cs" (the device mode vector's last
+                        synced view — up to sync_interval ticks stale)
+          window        [x, y, w, h] camshift search window (i32 list)
+          model_bins    distinct nonzero model-histogram bins (palette
+                        size; 0 before the first VJ->CS handoff)
+          band_dirty    the bandHist handoff-audit flag (PARITY deviation
+                        13; None when the audit is off) — under the
+                        default bandHistAuditAction="flag" this is HOW a
+                        deployment sees which streams run the band-local
+                        approximation on contaminated content
+        """
+        s = int(stream)
+        mode = {ft.MODE_WB: "wb", ft.MODE_VJ: "vj",
+                ft.MODE_CS: "cs"}[int(self.modes[s])]
+        dirty = self.state.cs.band_dirty
+        return {
+            "stream": s,
+            "mode": mode,
+            "window": np.asarray(self.state.cs.window[s]).tolist(),
+            "model_bins": int((np.asarray(self.state.cs.model_hist[s])
+                               != 0).sum()),
+            "band_dirty": (bool(np.asarray(dirty[s]))
+                           if dirty is not None else None),
+        }
+
     def band_hist_divergence(self, frames, stream=0):
         """Periodic bandHist cross-check (deviation 13 safety net, part b):
         recompute ONE stream's current histogram both full-frame

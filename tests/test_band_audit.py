@@ -118,6 +118,11 @@ def test_flag_action_is_telemetry_only():
     assert bt_f.modes.tolist() == [ftm.MODE_CS] * 2
     assert np.asarray(bt_f.state.cs.band_dirty).all()   # telemetry present
     assert not np.asarray(out_f.escaped).any()          # ...but no fallback
+    # stream_info is the deployment-facing read of the flag
+    info = bt_f.stream_info(0)
+    assert info["mode"] == "cs" and info["band_dirty"] is True
+    assert info["model_bins"] >= 2 and len(info["window"]) == 4
+    assert bt_off.stream_info(1)["band_dirty"] is None  # audit off
 
 
 def test_audit_action_validated():
