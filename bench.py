@@ -237,20 +237,22 @@ def main():
                          "--no-band-hist is the reference-exact "
                          "full-frame-histogram arm.  A/B: "
                          "tools/exp_bandhist_ab.py")
-    ap.add_argument("--k1", type=int, default=None,
+    ap.add_argument("--k1", type=int, default=2048,
                     help="TrackerConfig.survivorsStage2: deep-stage window "
-                         "capacity (None = the 4096 default = 26 tiles; "
-                         "2048 = 13 tiles).  The r5 detect-tick A/B: 2048 "
-                         "cuts the full-batch detect tick 47->38 ms at "
-                         "N=256 (tools/exp_detect_split.py --k1) because "
-                         "tile blocks/patches/deep-stage matmuls all "
-                         "shrink with the tile count; final candidate SET "
-                         "measured identical on this workload and the "
-                         "conformance clips (evicted weak survivors die "
-                         "in deep stages anyway), but CROWD capacity "
-                         "halves (PARITY deviation 5 — 22 true tiles on "
-                         "the 16-face clutter fixture need 26).  Gate any "
-                         "non-default with verify_chip --k1")
+                         "capacity.  BENCH default 2048 (13 tiles) — the "
+                         "r5-qualified single-face serving configuration: "
+                         "detect tick 47->38 ms at N=256 "
+                         "(tools/exp_detect_split.py --k1), final "
+                         "candidate SET measured identical on this "
+                         "workload and the conformance clips (evicted "
+                         "weak survivors die in deep stages anyway), FULL "
+                         "verify_chip gate PASS at --k1 2048 (incl. the "
+                         "clutter reduced-caps arm).  The PACKAGE serving "
+                         "default stays 4096 (26 tiles) because CROWD "
+                         "capacity halves at 2048 (PARITY deviation 5 — "
+                         "22 true tiles on the 16-face clutter fixture "
+                         "need 26); pass --k1 4096 to bench that.  Gate "
+                         "any non-default with verify_chip --k1")
     ap.add_argument("--k2", type=int, default=None,
                     help="TrackerConfig.survivorsDeep: stage-6+ window "
                          "capacity (None = 512 default).  256 measured "
@@ -260,12 +262,13 @@ def main():
                          "and the overflow telemetry reports any hit")
     ap.add_argument("--deep-dtype", type=str, default=None,
                     choices=["bf16", "int8"],
-                    help="detector.DEEP_DTYPE: int8 runs the chunk-B/C "
-                         "selection dots as i8 MXU matmuls on a -128-"
-                         "shifted patch matrix (bit-exact by construction; "
-                         "CPU golden + package-boundary drive verified r5). "
-                         "A/B knob for the detect-tick-bound phases (cold "
-                         "start, relock)")
+                    help="detector.DEEP_DTYPE override (None = the package "
+                         "default, int8 since its r5 qualification: chip "
+                         "A/B win + full gate PASS).  int8 runs the "
+                         "chunk-B/C selection dots as i8 MXU matmuls on a "
+                         "-128-shifted patch matrix — bit-exact by "
+                         "construction; --deep-dtype bf16 restores the "
+                         "r1-r5 formulation for A/B")
     ap.add_argument("--hist-kernel", type=str, default=None,
                     choices=["pallas"],
                     help="TrackerConfig.histKernel: run the dense camshift "

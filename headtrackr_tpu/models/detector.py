@@ -78,9 +78,13 @@ TILE_WINDOWS = TILE_Y * TILE_X
 # become the shifted range extremes 127 / -128).  Halves the HBM bytes of
 # the patch operand re-read per selection slot and runs the MXU at int8
 # rate.  "bf16" is the r1-r5 formulation (u8 values are bf16-exact).
-# Default stays bf16 until the on-chip A/B (exp_detect_split --deep-dtype)
-# and the conformance gate qualify the int8 path.
-DEEP_DTYPE = "bf16"
+# int8 became the default after the r5 qualification: chip A/B 44.0 vs
+# 45.9 ms/tick (exp_detect_split, min-of-4, N=256) and the FULL on-chip
+# conformance gate PASS with it on (verify_chip --deep-dtype int8 --k1
+# 2048 --band-hist --clips all — realistic exact arm bit-perfect,
+# clutter/hard/occlusion/relock green); values are bit-equal to bf16 by
+# the construction above, so goldens are dtype-invariant.
+DEEP_DTYPE = "int8"
 # Tile block shapes read from the three planes (window (dy,dx) + feature extent):
 B0_SHAPE = (2 * TILE_Y + 24, 2 * TILE_X + 24)    # (40, 64)
 B1_SHAPE = (TILE_Y + 12, TILE_X + 12)            # (20, 32)

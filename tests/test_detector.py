@@ -284,12 +284,12 @@ def test_int8_deep_dtype_candidate_sets_exact(rng):
             jnp.asarray(img))
         return jax.tree_util.tree_map(np.asarray, cand)
 
-    assert jd.DEEP_DTYPE == "bf16"   # suite-wide default
-    ref = run()
+    assert jd.DEEP_DTYPE == "int8"   # the r5-qualified package default
+    c8 = run()
     old = jd.DEEP_DTYPE
     try:
-        jd.DEEP_DTYPE = "int8"
-        c8 = run()
+        jd.DEEP_DTYPE = "bf16"       # the r1-r5 formulation as the ref arm
+        ref = run()
     finally:
         jd.DEEP_DTYPE = old
     bj, bo = _raw_sets(c8, seq_o)
